@@ -1,0 +1,206 @@
+"""Host-side scene construction: append primitives in Python, then freeze
+into padded SoA device arrays.
+
+This plays the role of the reference's mutable `MobileRT::Scene` container
+(reference app/MobileRT/Scene.hpp:20-63) during scene setup; `build()`
+produces the immutable `types.Scene` pytree the kernels consume.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import constants as C
+from .types import (Lights, Materials, Planes, Scene, Spheres, TextureAtlas,
+                    Triangles, empty_texture_atlas)
+
+
+def _pad_rows(arr: np.ndarray, capacity: int, fill: float = 0.0) -> np.ndarray:
+    out = np.full((capacity,) + arr.shape[1:], fill, dtype=arr.dtype)
+    if arr.shape[0]:
+        out[: arr.shape[0]] = arr
+    return out
+
+
+def _round_capacity(n: int, multiple: int = 8) -> int:
+    n = max(n, 1)
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class SceneBuilder:
+    def __init__(self):
+        self._tri = []          # list of dicts
+        self._sph = []
+        self._pla = []
+        self._mat = []          # list of (le, kd, ks, kt, ior, tex_id)
+        self._lights = []
+        self._textures = []     # list of HxWx3 float arrays
+
+    # -- materials ---------------------------------------------------------
+    def add_material(self, kd=(0, 0, 0), ks=(0, 0, 0), kt=(0, 0, 0),
+                     ior=1.0, le=(0, 0, 0), tex_id=-1, dedup=False) -> int:
+        """Appends a material and returns its index.  With dedup=True reuses
+        a value-equal material like the reference OBJ loader (reference
+        app/Components/Loaders/OBJLoader.cpp:406-418)."""
+        entry = (tuple(np.float32(le)), tuple(np.float32(kd)),
+                 tuple(np.float32(ks)), tuple(np.float32(kt)),
+                 np.float32(ior), int(tex_id))
+        if dedup:
+            for i, e in enumerate(self._mat):
+                if e == entry:
+                    return i
+        self._mat.append(entry)
+        return len(self._mat) - 1
+
+    # -- geometry ----------------------------------------------------------
+    def add_triangle(self, a, b, c, mat_id, normals=None, uvs=None) -> int:
+        """Adds a triangle; defaults the normals to normalize(cross(AC, AB))
+        like the reference builder (reference app/MobileRT/Shapes/
+        Triangle.cpp:328-339)."""
+        a = np.asarray(a, np.float32)
+        ab = np.asarray(b, np.float32) - a
+        ac = np.asarray(c, np.float32) - a
+        if normals is None:
+            n = np.cross(ac, ab)
+            n = n / np.linalg.norm(n)
+            normals = (n, n, n)
+        if uvs is None:
+            uvs = ((-1.0, -1.0),) * 3
+        self._tri.append(dict(
+            point_a=a, ab=ab, ac=ac,
+            na=np.asarray(normals[0], np.float32),
+            nb=np.asarray(normals[1], np.float32),
+            nc=np.asarray(normals[2], np.float32),
+            uva=np.asarray(uvs[0], np.float32),
+            uvb=np.asarray(uvs[1], np.float32),
+            uvc=np.asarray(uvs[2], np.float32),
+            mat_id=int(mat_id)))
+        return len(self._tri) - 1
+
+    def add_sphere(self, center, radius, mat_id) -> int:
+        self._sph.append(dict(
+            center=np.asarray(center, np.float32),
+            sq_radius=np.float32(radius) ** 2,
+            mat_id=int(mat_id)))
+        return len(self._sph) - 1
+
+    def add_plane(self, point, normal, mat_id) -> int:
+        normal = np.asarray(normal, np.float32)
+        normal = normal / np.linalg.norm(normal)
+        self._pla.append(dict(
+            point=np.asarray(point, np.float32), normal=normal,
+            mat_id=int(mat_id)))
+        return len(self._pla) - 1
+
+    # -- lights ------------------------------------------------------------
+    def add_point_light(self, position, radiance) -> int:
+        self._lights.append(dict(
+            kind=C.LIGHT_POINT,
+            position=np.asarray(position, np.float32),
+            tri_a=np.zeros(3, np.float32),
+            tri_ab=np.zeros(3, np.float32),
+            tri_ac=np.zeros(3, np.float32),
+            radiance=np.asarray(radiance, np.float32)))
+        return len(self._lights) - 1
+
+    def add_area_light(self, a, b, c, radiance) -> int:
+        """Triangle emitter (reference app/Components/Lights/AreaLight.cpp)."""
+        a = np.asarray(a, np.float32)
+        self._lights.append(dict(
+            kind=C.LIGHT_AREA,
+            position=a,
+            tri_a=a,
+            tri_ab=np.asarray(b, np.float32) - a,
+            tri_ac=np.asarray(c, np.float32) - a,
+            radiance=np.asarray(radiance, np.float32)))
+        return len(self._lights) - 1
+
+    # -- textures ----------------------------------------------------------
+    def add_texture(self, image: np.ndarray) -> int:
+        """Adds an (H, W, 3) float image in [0,1]; returns its atlas id."""
+        self._textures.append(np.asarray(image, np.float32))
+        return len(self._textures) - 1
+
+    # -- freeze ------------------------------------------------------------
+    def build(self) -> Scene:
+        nt = _round_capacity(len(self._tri))
+        ns = _round_capacity(len(self._sph))
+        npl = _round_capacity(len(self._pla))
+        nm = _round_capacity(len(self._mat))
+        nl = _round_capacity(len(self._lights))
+
+        def stack(items, key, shape):
+            if items:
+                return np.stack([it[key] for it in items]).astype(np.float32)
+            return np.zeros((0,) + shape, np.float32)
+
+        tri = Triangles(
+            point_a=jnp.asarray(_pad_rows(stack(self._tri, "point_a", (3,)), nt)),
+            ab=jnp.asarray(_pad_rows(stack(self._tri, "ab", (3,)), nt, 1.0)),
+            ac=jnp.asarray(_pad_rows(stack(self._tri, "ac", (3,)), nt, 1.0)),
+            normal_a=jnp.asarray(_pad_rows(stack(self._tri, "na", (3,)), nt, 1.0)),
+            normal_b=jnp.asarray(_pad_rows(stack(self._tri, "nb", (3,)), nt, 1.0)),
+            normal_c=jnp.asarray(_pad_rows(stack(self._tri, "nc", (3,)), nt, 1.0)),
+            uv_a=jnp.asarray(_pad_rows(stack(self._tri, "uva", (2,)), nt, -1.0)),
+            uv_b=jnp.asarray(_pad_rows(stack(self._tri, "uvb", (2,)), nt, -1.0)),
+            uv_c=jnp.asarray(_pad_rows(stack(self._tri, "uvc", (2,)), nt, -1.0)),
+            mat_id=jnp.asarray(_pad_rows(
+                np.asarray([t["mat_id"] for t in self._tri], np.int32), nt)),
+            valid=jnp.asarray(np.arange(nt) < len(self._tri)),
+        )
+        sph = Spheres(
+            center=jnp.asarray(_pad_rows(stack(self._sph, "center", (3,)), ns)),
+            sq_radius=jnp.asarray(_pad_rows(
+                np.asarray([s["sq_radius"] for s in self._sph], np.float32), ns, 1.0)),
+            mat_id=jnp.asarray(_pad_rows(
+                np.asarray([s["mat_id"] for s in self._sph], np.int32), ns)),
+            valid=jnp.asarray(np.arange(ns) < len(self._sph)),
+        )
+        pla = Planes(
+            point=jnp.asarray(_pad_rows(stack(self._pla, "point", (3,)), npl)),
+            normal=jnp.asarray(_pad_rows(stack(self._pla, "normal", (3,)), npl, 1.0)),
+            mat_id=jnp.asarray(_pad_rows(
+                np.asarray([p["mat_id"] for p in self._pla], np.int32), npl)),
+            valid=jnp.asarray(np.arange(npl) < len(self._pla)),
+        )
+
+        def mstack(idx, shape3=True):
+            if self._mat:
+                return np.asarray([m[idx] for m in self._mat], np.float32)
+            return np.zeros((0, 3) if shape3 else (0,), np.float32)
+
+        mat = Materials(
+            le=jnp.asarray(_pad_rows(mstack(0), nm)),
+            kd=jnp.asarray(_pad_rows(mstack(1), nm)),
+            ks=jnp.asarray(_pad_rows(mstack(2), nm)),
+            kt=jnp.asarray(_pad_rows(mstack(3), nm)),
+            ior=jnp.asarray(_pad_rows(mstack(4, False), nm, 1.0)),
+            tex_id=jnp.asarray(_pad_rows(
+                np.asarray([m[5] for m in self._mat], np.int32), nm, -1)),
+        )
+        lights = Lights(
+            kind=jnp.asarray(_pad_rows(
+                np.asarray([l["kind"] for l in self._lights], np.int32), nl)),
+            position=jnp.asarray(_pad_rows(stack(self._lights, "position", (3,)), nl)),
+            tri_a=jnp.asarray(_pad_rows(stack(self._lights, "tri_a", (3,)), nl)),
+            tri_ab=jnp.asarray(_pad_rows(stack(self._lights, "tri_ab", (3,)), nl, 1.0)),
+            tri_ac=jnp.asarray(_pad_rows(stack(self._lights, "tri_ac", (3,)), nl, 1.0)),
+            radiance=jnp.asarray(_pad_rows(stack(self._lights, "radiance", (3,)), nl)),
+            valid=jnp.asarray(np.arange(nl) < len(self._lights)),
+            num=jnp.asarray(len(self._lights), jnp.int32),
+        )
+
+        if self._textures:
+            h = max(t.shape[0] for t in self._textures)
+            w = max(t.shape[1] for t in self._textures)
+            data = np.zeros((len(self._textures), h, w, 3), np.float32)
+            sizes = np.zeros((len(self._textures), 2), np.int32)
+            for i, t in enumerate(self._textures):
+                data[i, : t.shape[0], : t.shape[1]] = t
+                sizes[i] = (t.shape[0], t.shape[1])
+            atlas = TextureAtlas(data=jnp.asarray(data), sizes=jnp.asarray(sizes))
+        else:
+            atlas = empty_texture_atlas()
+
+        return Scene(triangles=tri, spheres=sph, planes=pla, materials=mat,
+                     lights=lights, atlas=atlas, bvh=None)

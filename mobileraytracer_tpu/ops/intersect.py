@@ -1,0 +1,295 @@
+"""Ray-primitive intersection kernels (pure-JAX "Naive" accelerator).
+
+This is the framework's correctness oracle, the TPU analogue of the
+reference's linear-scan accelerator (reference app/MobileRT/Accelerators/
+Naive.hpp:85-94).  Every test is a dense vectorized op over a (B rays x N
+primitives) tile, scanned in chunks so memory stays bounded; the BVH path
+reuses the same per-primitive math.
+
+Numeric conventions copied from the reference (epsilons, two-sided planes,
+min-root spheres, Moller-Trumbore with t >= Epsilon) live here — image
+parity depends on them:
+ - triangles: app/MobileRT/Shapes/Triangle.cpp:63-109
+ - spheres:   app/MobileRT/Shapes/Sphere.cpp:42-81 (EpsilonLarge cutoff)
+ - planes:    app/MobileRT/Shapes/Plane.cpp:38-72
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..types import Hit, Lights, Planes, Scene, Spheres, Triangles, make_miss
+
+_BIG = C.RAY_LENGTH_MAX
+_CHUNK = 512  # primitives per scan step; bounds the (B, chunk) tile size
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Per-primitive-type distance kernels.  Each returns the hit distance for
+# every (ray, primitive) pair, with misses mapped to RAY_LENGTH_MAX.
+# ---------------------------------------------------------------------------
+
+def triangle_distances(o, d, point_a, ab, ac):
+    """Moller-Trumbore over a (B, 3) ray batch and (N, 3) triangle SoA.
+
+    Returns (t, u, v) each shaped (B, N).  Follows the reference's exact
+    acceptance tests (Triangle.cpp:63-109): |det| >= Epsilon, 0 <= u <= 1,
+    v >= 0, u + v <= 1, t >= Epsilon.
+    """
+    # p = d x AC : (B, N, 3)
+    p = jnp.cross(d[:, None, :], ac[None, :, :])
+    det = _dot(ab[None, :, :], p)                       # (B, N)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < C.EPSILON, 1.0, det)
+    tvec = o[:, None, :] - point_a[None, :, :]          # (B, N, 3)
+    u = inv_det * _dot(tvec, p)
+    q = jnp.cross(tvec, ab[None, :, :])
+    v = inv_det * _dot(d[:, None, :], q)
+    t = inv_det * _dot(ac[None, :, :], q)
+    ok = ((jnp.abs(det) >= C.EPSILON)
+          & (u >= 0.0) & (u <= 1.0)
+          & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= C.EPSILON))
+    return jnp.where(ok, t, _BIG), u, v
+
+
+def sphere_distances(o, d, center, sq_radius):
+    """Quadratic ray-sphere test, reference Sphere.cpp:42-81: t is the
+    smaller root over 2a and must be >= EpsilonLarge."""
+    oc = center[None, :, :] - o[:, None, :]             # (B, N, 3)
+    proj = _dot(oc, d[:, None, :])
+    a = _dot(d, d)[:, None]                             # (B, 1); 1 for unit d
+    b = 2.0 * -proj
+    c = _dot(oc, oc) - sq_radius[None, :]
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = jnp.minimum(-b + sq, -b - sq) / (2.0 * a)
+    ok = (disc >= 0.0) & (t >= C.EPSILON_LARGE)
+    return jnp.where(ok, t, _BIG)
+
+
+def plane_distances(o, d, point, normal):
+    """Two-sided ray-plane test, reference Plane.cpp:38-72."""
+    denom = _dot(normal[None, :, :], d[:, None, :])     # (B, N)
+    safe = jnp.where(jnp.abs(denom) < C.EPSILON, 1.0, denom)
+    num = _dot(normal[None, :, :], point[None, :, :] - o[:, None, :])
+    t = num / safe
+    ok = (jnp.abs(denom) >= C.EPSILON) & (t >= C.EPSILON)
+    return jnp.where(ok, t, _BIG)
+
+
+# ---------------------------------------------------------------------------
+# Closest-hit scans per primitive type.
+# ---------------------------------------------------------------------------
+
+def _scan_min(num_prims, chunk_fn, t_init, id_init):
+    """Scans primitive chunks, carrying (best_t, best_id)."""
+    n_chunks = max(1, -(-num_prims // _CHUNK))
+
+    size = min(_CHUNK, num_prims)
+
+    def body(carry, chunk_idx):
+        best_t, best_id = carry
+        # Clamp like dynamic_slice does so the id base matches the slice.
+        start = jnp.minimum(chunk_idx * _CHUNK, num_prims - size)
+        t, ids = chunk_fn(start)
+        arg = jnp.argmin(t, axis=1)
+        tmin = jnp.take_along_axis(t, arg[:, None], 1)[:, 0]
+        idmin = jnp.take_along_axis(ids, arg[:, None], 1)[:, 0]
+        closer = tmin < best_t
+        return ((jnp.where(closer, tmin, best_t),
+                 jnp.where(closer, idmin, best_id)), None)
+
+    (best_t, best_id), _ = jax.lax.scan(
+        body, (t_init, id_init), jnp.arange(n_chunks))
+    return best_t, best_id
+
+
+def closest_triangles(tris: Triangles, o, d, t_max, prev_kind, prev_id):
+    n = tris.capacity
+    guard = prev_kind == C.PRIM_TRIANGLE
+
+    def chunk(start):
+        pa = jax.lax.dynamic_slice_in_dim(tris.point_a, start, min(_CHUNK, n), 0)
+        ab = jax.lax.dynamic_slice_in_dim(tris.ab, start, min(_CHUNK, n), 0)
+        ac = jax.lax.dynamic_slice_in_dim(tris.ac, start, min(_CHUNK, n), 0)
+        valid = jax.lax.dynamic_slice_in_dim(tris.valid, start, min(_CHUNK, n), 0)
+        ids = start + jnp.arange(min(_CHUNK, n), dtype=jnp.int32)
+        t, _, _ = triangle_distances(o, d, pa, ab, ac)
+        t = jnp.where(valid[None, :], t, _BIG)
+        # Self-intersection guard (reference Triangle.cpp:64-66 compares the
+        # ray's source-primitive pointer).
+        t = jnp.where(guard[:, None] & (ids[None, :] == prev_id[:, None]), _BIG, t)
+        return t, jnp.broadcast_to(ids[None, :], t.shape)
+
+    return _scan_min(n, chunk,
+                     jnp.asarray(t_max, jnp.float32) * jnp.ones(o.shape[0]),
+                     jnp.full((o.shape[0],), -1, jnp.int32))
+
+
+def closest_spheres(sph: Spheres, o, d, t_max, prev_kind, prev_id):
+    n = sph.capacity
+
+    def chunk(start):
+        ce = jax.lax.dynamic_slice_in_dim(sph.center, start, min(_CHUNK, n), 0)
+        sr = jax.lax.dynamic_slice_in_dim(sph.sq_radius, start, min(_CHUNK, n), 0)
+        valid = jax.lax.dynamic_slice_in_dim(sph.valid, start, min(_CHUNK, n), 0)
+        ids = start + jnp.arange(min(_CHUNK, n), dtype=jnp.int32)
+        t = sphere_distances(o, d, ce, sr)
+        t = jnp.where(valid[None, :], t, _BIG)
+        # Spheres carry no self-intersection pointer in the reference
+        # (Sphere.cpp:77 passes nullptr); EpsilonLarge is the guard.
+        return t, jnp.broadcast_to(ids[None, :], t.shape)
+
+    return _scan_min(n, chunk,
+                     jnp.asarray(t_max, jnp.float32) * jnp.ones(o.shape[0]),
+                     jnp.full((o.shape[0],), -1, jnp.int32))
+
+
+def closest_planes(pla: Planes, o, d, t_max, prev_kind, prev_id):
+    n = pla.capacity
+    guard = prev_kind == C.PRIM_PLANE
+
+    def chunk(start):
+        pt = jax.lax.dynamic_slice_in_dim(pla.point, start, min(_CHUNK, n), 0)
+        nm = jax.lax.dynamic_slice_in_dim(pla.normal, start, min(_CHUNK, n), 0)
+        valid = jax.lax.dynamic_slice_in_dim(pla.valid, start, min(_CHUNK, n), 0)
+        ids = start + jnp.arange(min(_CHUNK, n), dtype=jnp.int32)
+        t = plane_distances(o, d, pt, nm)
+        t = jnp.where(valid[None, :], t, _BIG)
+        t = jnp.where(guard[:, None] & (ids[None, :] == prev_id[:, None]), _BIG, t)
+        return t, jnp.broadcast_to(ids[None, :], t.shape)
+
+    return _scan_min(n, chunk,
+                     jnp.asarray(t_max, jnp.float32) * jnp.ones(o.shape[0]),
+                     jnp.full((o.shape[0],), -1, jnp.int32))
+
+
+def closest_lights(lights: Lights, o, d, t_max, prev_kind, prev_id):
+    """Area-light triangles are hittable during normal tracing (reference
+    Shader.cpp:111 traceLights -> AreaLight.cpp:32-41)."""
+    guard = prev_kind == C.PRIM_LIGHT
+    t, _, _ = triangle_distances(o, d, lights.tri_a, lights.tri_ab, lights.tri_ac)
+    active = lights.valid & (lights.kind == C.LIGHT_AREA)
+    t = jnp.where(active[None, :], t, _BIG)
+    ids = jnp.arange(lights.capacity, dtype=jnp.int32)
+    t = jnp.where(guard[:, None] & (ids[None, :] == prev_id[:, None]), _BIG, t)
+    arg = jnp.argmin(t, axis=1)
+    tmin = jnp.take_along_axis(t, arg[:, None], 1)[:, 0]
+    tmin = jnp.where(tmin < t_max, tmin, _BIG)
+    return tmin, arg.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Full-scene closest hit and shadow (any-hit) queries.
+# ---------------------------------------------------------------------------
+
+def _fill_hit(scene: Scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
+              t_li, id_li) -> Hit:
+    """Combines per-type winners and gathers surface attributes for the
+    overall closest primitive."""
+    b = o.shape[0]
+    ts = jnp.stack([t_pl, t_sp, t_tr, t_li], 0)          # (4, B)
+    ids = jnp.stack([id_pl, id_sp, id_tr, id_li], 0)
+    kinds = jnp.asarray([C.PRIM_PLANE, C.PRIM_SPHERE, C.PRIM_TRIANGLE,
+                         C.PRIM_LIGHT], jnp.int32)
+    winner = jnp.argmin(ts, axis=0)                      # (B,)
+    t = jnp.take_along_axis(ts, winner[None, :], 0)[0]
+    pid = jnp.take_along_axis(ids, winner[None, :], 0)[0]
+    kind = jnp.where(t < _BIG, kinds[winner], C.PRIM_NONE)
+    pid = jnp.where(t < _BIG, pid, -1)
+    point = o + d * t[:, None]
+
+    gid = jnp.maximum(pid, 0)
+
+    # Plane attributes (normal is the plane normal; reference Plane.cpp:62-69).
+    n_pl = scene.planes.normal[jnp.minimum(gid, scene.planes.capacity - 1)]
+    m_pl = scene.planes.mat_id[jnp.minimum(gid, scene.planes.capacity - 1)]
+
+    # Sphere attributes (outward normal; reference Sphere.cpp:70-79).
+    sid = jnp.minimum(gid, scene.spheres.capacity - 1)
+    ctr = scene.spheres.center[sid]
+    n_sp = point - ctr
+    n_sp = n_sp / jnp.maximum(jnp.linalg.norm(n_sp, axis=-1, keepdims=True), 1e-30)
+    m_sp = scene.spheres.mat_id[sid]
+
+    # Triangle attributes: barycentric-interpolated normal and UV
+    # (reference Triangle.cpp:96-106).
+    tid = jnp.minimum(gid, scene.triangles.capacity - 1)
+    tris = scene.triangles
+    pa, ab, ac = tris.point_a[tid], tris.ab[tid], tris.ac[tid]
+    u_t, v_t = _tri_barycentrics(o, d, pa, ab, ac)
+    w_t = 1.0 - u_t - v_t
+    n_tr = (tris.normal_a[tid] * w_t[:, None]
+            + tris.normal_b[tid] * u_t[:, None]
+            + tris.normal_c[tid] * v_t[:, None])
+    n_tr = n_tr / jnp.maximum(jnp.linalg.norm(n_tr, axis=-1, keepdims=True), 1e-30)
+    uv_tr = (tris.uv_a[tid] * w_t[:, None]
+             + tris.uv_b[tid] * u_t[:, None]
+             + tris.uv_c[tid] * v_t[:, None])
+    m_tr = tris.mat_id[tid]
+
+    # Area-light attributes: geometric normal of the light triangle, mat -1
+    # with bound radiance (reference AreaLight.cpp:32-41 binds the radiance
+    # material; the triangle's default normal is normalize(cross(AC, AB)),
+    # Triangle.cpp:328-339).
+    lid = jnp.minimum(gid, scene.lights.capacity - 1)
+    n_li = jnp.cross(scene.lights.tri_ac[lid], scene.lights.tri_ab[lid])
+    n_li = n_li / jnp.maximum(jnp.linalg.norm(n_li, axis=-1, keepdims=True), 1e-30)
+    le_li = scene.lights.radiance[lid]
+
+    sel = winner  # 0 plane, 1 sphere, 2 triangle, 3 light
+    normal = jnp.select(
+        [sel[:, None] == 0, sel[:, None] == 1, sel[:, None] == 2],
+        [n_pl, n_sp, n_tr], n_li)
+    mat_id = jnp.select([sel == 0, sel == 1, sel == 2],
+                        [m_pl, m_sp, m_tr], jnp.full((b,), -1, jnp.int32))
+    mat_id = jnp.where(kind == C.PRIM_NONE, -1, mat_id)
+    uv = jnp.where((sel == 2)[:, None], uv_tr, jnp.full((b, 2), -1.0))
+    light_le = jnp.where((sel == 3)[:, None] & (kind == C.PRIM_LIGHT)[:, None],
+                         le_li, jnp.zeros((b, 3)))
+
+    return Hit(t=t, prim_kind=kind, prim_id=pid, mat_id=mat_id, point=point,
+               normal=normal, uv=uv, light_le=light_le)
+
+
+def _tri_barycentrics(o, d, pa, ab, ac):
+    """Recomputes (u, v) for known triangle rows (one per ray)."""
+    p = jnp.cross(d, ac)
+    det = _dot(ab, p)
+    inv = 1.0 / jnp.where(jnp.abs(det) < C.EPSILON, 1.0, det)
+    tvec = o - pa
+    u = inv * _dot(tvec, p)
+    q = jnp.cross(tvec, ab)
+    v = inv * _dot(d, q)
+    return u, v
+
+
+def intersect_scene_naive(scene: Scene, o, d, prev_kind, prev_id,
+                          t_max=_BIG) -> Hit:
+    """Closest hit across planes, spheres, triangles, then area lights —
+    the reference's trace order (Shader.cpp:86-123)."""
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+    t_pl, id_pl = closest_planes(scene.planes, o, d, tm, prev_kind, prev_id)
+    t_sp, id_sp = closest_spheres(scene.spheres, o, d, tm, prev_kind, prev_id)
+    t_tr, id_tr = closest_triangles(scene.triangles, o, d, tm, prev_kind, prev_id)
+    t_li, id_li = closest_lights(scene.lights, o, d, tm, prev_kind, prev_id)
+    return _fill_hit(scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
+                     t_li, id_li)
+
+
+def occluded_naive(scene: Scene, o, d, max_dist, prev_kind, prev_id):
+    """Shadow query: any scene primitive strictly closer than `max_dist`
+    blocks the light.  Lights themselves never occlude (the reference's
+    shadowTrace skips traceLights, Shader.cpp:132-158)."""
+    t_pl, _ = closest_planes(scene.planes, o, d, max_dist, prev_kind, prev_id)
+    t_sp, _ = closest_spheres(scene.spheres, o, d, max_dist, prev_kind, prev_id)
+    t_tr, _ = closest_triangles(scene.triangles, o, d, max_dist, prev_kind, prev_id)
+    t = jnp.minimum(jnp.minimum(t_pl, t_sp), t_tr)
+    return t < max_dist

@@ -1,0 +1,136 @@
+"""Shared shading math: material binding, reflection/refraction, fresnel,
+next-event estimation.  All functions operate on ray batches.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .. import sampling
+from ..ops import intersect
+from ..types import Hit, Scene
+
+
+def has_positive(v: jnp.ndarray) -> jnp.ndarray:
+    """hasPositiveValue: any component > 0 (reference Utils.hpp)."""
+    return jnp.any(v > 0.0, axis=-1)
+
+
+def reflect(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """glm::reflect: i - 2*dot(n,i)*n."""
+    return i - 2.0 * jnp.sum(n * i, -1, keepdims=True) * n
+
+
+def refract(i: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray):
+    """glm::refract.  Returns (direction, valid): on total internal
+    reflection glm yields the zero vector, which the reference then traces
+    as a guaranteed-miss ray (Whitted.cpp:82-90); we report valid=False and
+    the caller skips the child instead."""
+    cosi = jnp.sum(n * i, -1)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    valid = k >= 0.0
+    d = (eta[..., None] * i
+         - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n)
+    return jnp.where(valid[..., None], d, 0.0), valid
+
+
+def fresnel(i: jnp.ndarray, n: jnp.ndarray, ior: jnp.ndarray) -> jnp.ndarray:
+    """Fresnel reflectance (reference Utils.cpp:206-229).  Note: the
+    reference calls glm::clamp with swapped arguments, producing
+    cosi = min(1, dot(I, N)); we reproduce that since Whitted computes (and
+    discards) this value — kept for API completeness."""
+    cosi = jnp.minimum(1.0, jnp.sum(i * n, -1))
+    etai = jnp.where(cosi > 0, ior, jnp.ones_like(ior))
+    etat = jnp.where(cosi > 0, jnp.ones_like(ior), ior)
+    sint = etai / etat * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
+    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+    acosi = jnp.abs(cosi)
+    rs = (etat * acosi - etai * cost) / (etat * acosi + etai * cost)
+    rp = (etai * acosi - etat * cost) / (etai * acosi + etat * cost)
+    kr = (rs * rs + rp * rp) / 2.0
+    return jnp.where(sint >= 1.0, 1.0, kr)
+
+
+def sample_atlas(scene: Scene, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Nearest texel fetch matching Texture::loadColor (Texture.cpp:37-48):
+    x = int(u * W), y = int(v * H), row-major from the top."""
+    atlas = scene.atlas
+    tid = jnp.clip(tex_id, 0, atlas.num_textures - 1)
+    size = atlas.sizes[tid]                       # (B, 2) (h, w)
+    h = size[..., 0].astype(jnp.float32)
+    w = size[..., 1].astype(jnp.float32)
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, size[..., 1] - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, size[..., 0] - 1)
+    return atlas.data[tid, y, x]
+
+
+def bind_material(scene: Scene, hit: Hit):
+    """Material binding at a hit (reference Shader.cpp:112-121): gather the
+    material row; override Kd with the texture sample when the hit carries
+    valid texcoords; area-light hits (mat_id == -1 on PRIM_LIGHT) bind the
+    light radiance as Le."""
+    mats = scene.materials
+    mid = jnp.clip(hit.mat_id, 0, mats.capacity - 1)
+    has_mat = hit.mat_id >= 0
+    le = jnp.where(has_mat[:, None], mats.le[mid], 0.0)
+    kd = jnp.where(has_mat[:, None], mats.kd[mid], 0.0)
+    ks = jnp.where(has_mat[:, None], mats.ks[mid], 0.0)
+    kt = jnp.where(has_mat[:, None], mats.kt[mid], 0.0)
+    ior = jnp.where(has_mat, mats.ior[mid], 1.0)
+
+    tex_id = jnp.where(has_mat, mats.tex_id[mid], -1)
+    textured = (tex_id >= 0) & (hit.uv[:, 0] >= 0) & (hit.uv[:, 1] >= 0)
+    kd = jnp.where(textured[:, None], sample_atlas(scene, tex_id, hit.uv), kd)
+
+    is_light = (hit.prim_kind == C.PRIM_LIGHT)
+    le = jnp.where(is_light[:, None], hit.light_le, le)
+    return le, kd, ks, kt, ior
+
+
+def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
+                    samples_light: int, shadows: bool,
+                    occluded_fn=None) -> jnp.ndarray:
+    """Next-event estimation for diffuse hits.
+
+    Per sample: pick a uniform light (Shader.cpp:223-233), take its position
+    (point light) or a uniform triangle point (AreaLight.cpp:17-26), add
+    radiance * cos(N, L) when the light is above the horizon and — with
+    `shadows` — unoccluded (Whitted.cpp:37-65; NoShadows.cpp skips the
+    shadow ray and normalizes without the distance).  Returns the *summed*
+    radiance (caller multiplies by kD / samplesLight) and the per-lane count
+    of shadow rays cast (the reference constructs a Ray — incrementing the
+    casted-ray counter — whenever cos(N, L) > 0, Whitted.cpp:51-56).
+    """
+    b = hit.t.shape[0]
+    total = jnp.zeros((b, 3), jnp.float32)
+    shadow_rays = jnp.zeros((b,), jnp.int32)
+    has_lights = scene.lights.num > 0
+    if occluded_fn is None:
+        occluded_fn = intersect.occluded_naive
+
+    for s in range(samples_light):
+        k_pick = jax.vmap(jax.random.fold_in, (0, None))(keys, 2 * s)
+        k_point = jax.vmap(jax.random.fold_in, (0, None))(keys, 2 * s + 1)
+        lidx = jax.vmap(sampling.pick_light, (0, None))(k_pick, scene.lights.num)
+        kind = scene.lights.kind[lidx]
+        p_area = jax.vmap(sampling.sample_triangle_point)(
+            k_point, scene.lights.tri_a[lidx], scene.lights.tri_ab[lidx],
+            scene.lights.tri_ac[lidx])
+        lpos = jnp.where((kind == C.LIGHT_AREA)[:, None], p_area,
+                         scene.lights.position[lidx])
+        radiance = scene.lights.radiance[lidx]
+
+        to_light = lpos - hit.point
+        dist = jnp.linalg.norm(to_light, axis=-1)
+        ldir = to_light / jnp.maximum(dist[:, None], 1e-30)
+        cos_nl = jnp.sum(hit.normal * ldir, -1)
+        visible = cos_nl > 0.0
+        if shadows:
+            shadow_rays = shadow_rays + (visible & has_lights).astype(jnp.int32)
+            blocked = occluded_fn(
+                scene, hit.point, ldir, dist, hit.prim_kind, hit.prim_id)
+            visible = visible & ~blocked
+        contrib = radiance * cos_nl[:, None]
+        total = total + jnp.where((visible & has_lights)[:, None], contrib, 0.0)
+    return total, shadow_rays

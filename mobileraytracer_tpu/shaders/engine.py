@@ -1,0 +1,299 @@
+"""The wavefront shading engine.
+
+The reference shades by *recursion*: `Shader::rayTrace` traces, binds a
+material and calls a virtual `shade()` which may recurse into reflection /
+refraction / diffuse-indirect children (reference app/MobileRT/Shader.cpp:
+86-123; Components/Shaders/*.cpp).  Recursion does not exist under XLA, so
+this engine evaluates the same contribution *tree* iteratively: each lane
+(ray) owns a small explicit stack of pending tree nodes (ray, depth,
+throughput weight); a `lax.scan` pops one node per lane per iteration,
+traces the whole batch at once, accumulates the node's own contribution and
+pushes its children.  Contributions are purely additive with multiplicative
+weights, so the walk order does not change the sum.
+
+Every iteration is a full-batch trace + NEE — uniform work, no divergence,
+exactly what the TPU wants.  Radiance is differentiable w.r.t. material
+tables (albedo/emission) because all weights are smooth functions of them;
+the scan has a fixed trip count so reverse-mode AD works.
+
+Known deviation from the reference (documented, see PathTracer notes):
+MobileRT zeroes the *entire* diffuse-indirect contribution of a node when
+NEE succeeded and the indirect subpath later re-hit a light
+(PathTracer.cpp:110-112) — a post-order dependency.  We apply the standard
+forward-mode guard instead: the *emission* term is dropped when the path
+reached the light through a diffuse bounce whose vertex had successful NEE.
+Images agree at matched sample counts within MC noise; bitwise parity is
+impossible anyway because the RNG plumbing differs (SURVEY §7).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .. import sampling
+from ..ops import intersect
+from ..types import Hit, RenderConfig, Scene
+from . import common
+
+
+class Tracer(NamedTuple):
+    """Accelerator dispatch: closest-hit and shadow queries."""
+    closest: Callable  # (scene, o, d, prev_kind, prev_id) -> Hit
+    occluded: Callable  # (scene, o, d, max_dist, prev_kind, prev_id) -> bool
+
+
+def make_tracer(config: RenderConfig) -> Tracer:
+    if config.accelerator in (C.ACC_NONE, C.ACC_NAIVE, C.ACC_REGULAR_GRID):
+        # Regular grid: pending; falls back to naive (same results).
+        return Tracer(closest=intersect.intersect_scene_naive,
+                      occluded=intersect.occluded_naive)
+    if config.accelerator == C.ACC_BVH:
+        from ..ops import bvh as bvh_ops
+        return Tracer(closest=bvh_ops.intersect_scene_bvh,
+                      occluded=bvh_ops.occluded_bvh)
+    raise ValueError(f"unknown accelerator {config.accelerator}")
+
+
+# ---------------------------------------------------------------------------
+# Stack helpers.  The per-lane stack arrays have shape (B, S, ...).
+# ---------------------------------------------------------------------------
+
+class WalkState(NamedTuple):
+    sp: jnp.ndarray         # (B,) stack pointer (number of pending entries)
+    st_org: jnp.ndarray     # (B, S, 3)
+    st_dir: jnp.ndarray     # (B, S, 3)
+    st_weight: jnp.ndarray  # (B, S, 3) product of K factors along ancestors
+    st_depth: jnp.ndarray   # (B, S)
+    st_pkind: jnp.ndarray   # (B, S) source-primitive kind (self-hit guard)
+    st_pid: jnp.ndarray     # (B, S) source-primitive id
+    st_flags: jnp.ndarray   # (B, S) bit 0: diffuse-indirect edge w/ NEE hit
+    rgb: jnp.ndarray        # (B, 3) accumulated radiance
+    rays: jnp.ndarray      # (B,) number of rays popped (casted-ray metric)
+
+
+FLAG_DIFFUSE_NEE = 1
+
+
+def _push(state: WalkState, mask, org, dirn, weight, depth, pkind, pid, flags):
+    """Pushes one entry on each masked lane's stack (drops on overflow —
+    cannot happen for the reference's single-lobe materials within the
+    default stack size)."""
+    s = state.st_depth.shape[1]
+    pos = jnp.clip(state.sp, 0, s - 1)
+    lane_ok = mask & (state.sp < s)
+    onehot = (jnp.arange(s)[None, :] == pos[:, None]) & lane_ok[:, None]
+    oh3 = onehot[:, :, None]
+    return state._replace(
+        sp=jnp.where(lane_ok, state.sp + 1, state.sp),
+        st_org=jnp.where(oh3, org[:, None, :], state.st_org),
+        st_dir=jnp.where(oh3, dirn[:, None, :], state.st_dir),
+        st_weight=jnp.where(oh3, weight[:, None, :], state.st_weight),
+        st_depth=jnp.where(onehot, depth[:, None], state.st_depth),
+        st_pkind=jnp.where(onehot, pkind[:, None], state.st_pkind),
+        st_pid=jnp.where(onehot, pid[:, None], state.st_pid),
+        st_flags=jnp.where(onehot, flags[:, None], state.st_flags),
+    )
+
+
+def _pop(state: WalkState):
+    idx = jnp.maximum(state.sp - 1, 0)
+    b = jnp.arange(state.sp.shape[0])
+    entry = dict(
+        org=state.st_org[b, idx],
+        dirn=state.st_dir[b, idx],
+        weight=state.st_weight[b, idx],
+        depth=state.st_depth[b, idx],
+        pkind=state.st_pkind[b, idx],
+        pid=state.st_pid[b, idx],
+        flags=state.st_flags[b, idx],
+    )
+    active = state.sp > 0
+    return state._replace(sp=jnp.maximum(state.sp - 1, 0),
+                          rays=state.rays + active.astype(jnp.int32)), entry, active
+
+
+# ---------------------------------------------------------------------------
+# The walker.
+# ---------------------------------------------------------------------------
+
+def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
+                   o: jnp.ndarray, d: jnp.ndarray, keys: jax.Array,
+                   differentiable: bool = False):
+    """Evaluates the Whitted or path-tracing contribution tree for a batch
+    of primary rays.  Returns (rgb, casted_ray_count)."""
+    b = o.shape[0]
+    s = config.stack_size
+    shader = config.shader
+
+    zeros3 = jnp.zeros((b, 3), jnp.float32)
+    state = WalkState(
+        sp=jnp.ones((b,), jnp.int32),
+        st_org=jnp.zeros((b, s, 3), jnp.float32).at[:, 0].set(o),
+        st_dir=jnp.zeros((b, s, 3), jnp.float32).at[:, 0].set(d),
+        st_weight=jnp.zeros((b, s, 3), jnp.float32).at[:, 0].set(1.0),
+        st_depth=jnp.ones((b, s), jnp.int32),  # primary rays have depth 1
+        st_pkind=jnp.zeros((b, s), jnp.int32),
+        st_pid=jnp.full((b, s), -1, jnp.int32),
+        st_flags=jnp.zeros((b, s), jnp.int32),
+        rgb=zeros3,
+        rays=jnp.zeros((b,), jnp.int32),
+    )
+
+    def step(state: WalkState, it):
+        state, e, active = _pop(state)
+        hit = tracer.closest(scene, e["org"], e["dirn"], e["pkind"], e["pid"])
+        le, kd, ks, kt, ior = common.bind_material(scene, hit)
+
+        hit_ok = active & ~hit.missed
+        # Depth cap first, then emissive early-out — the reference's shade()
+        # order (Whitted.cpp:14-24, PathTracer.cpp:23-33).
+        in_depth = e["depth"] <= config.depth_max
+        emissive = common.has_positive(le)
+        live = hit_ok & in_depth
+
+        node_keys = sampling.event_key(keys, it, 0)
+
+        # --- emission ----------------------------------------------------
+        emit_w = live & emissive
+        if shader == C.SHADER_PATHTRACER:
+            # Forward NEE double-count guard (see module docstring).
+            guarded = (e["flags"] & FLAG_DIFFUSE_NEE) != 0
+            emit_w = emit_w & ~guarded
+        rgb = state.rgb + jnp.where(emit_w[:, None], e["weight"] * le, 0.0)
+
+        cont = live & ~emissive  # non-emissive surface: shade + children
+
+        # --- diffuse direct (NEE) ---------------------------------------
+        diffuse = cont & common.has_positive(kd)
+        if shader in (C.SHADER_WHITTED, C.SHADER_PATHTRACER, C.SHADER_NOSHADOWS):
+            nee_keys = sampling.event_key(keys, it, 1)
+            ld_sum, n_shadow = common.direct_lighting(
+                scene, hit, nee_keys, config.samples_light,
+                shadows=(shader != C.SHADER_NOSHADOWS), occluded_fn=tracer.occluded)
+            ld = kd * ld_sum / jnp.float32(config.samples_light)
+            has_l = scene.lights.num > 0
+            ld = jnp.where((diffuse & has_l)[:, None], ld, 0.0)
+            rgb = rgb + e["weight"] * ld
+            state = state._replace(
+                rays=state.rays + jnp.where(diffuse, n_shadow, 0))
+            if shader in (C.SHADER_WHITTED, C.SHADER_NOSHADOWS):
+                # Ambient term "rgb += kD * 0.1" (Whitted.cpp:91,
+                # NoShadows.cpp:46) — added whenever the surface is shaded.
+                rgb = rgb + jnp.where(cont[:, None],
+                                      e["weight"] * kd * C.WHITTED_AMBIENT, 0.0)
+        else:
+            ld = zeros3
+
+        state = state._replace(rgb=rgb)
+
+        if shader == C.SHADER_NOSHADOWS:
+            return state, None  # no recursion
+
+        # --- children ----------------------------------------------------
+        depth1 = e["depth"] + 1
+
+        # Specular reflection child (Whitted.cpp:73-79, PathTracer.cpp:117-124).
+        spec = cont & common.has_positive(ks)
+        rdir = common.reflect(e["dirn"], hit.normal)
+        state = _push(state, spec, hit.point, rdir, e["weight"] * ks, depth1,
+                      hit.prim_kind, hit.prim_id, jnp.zeros((b,), jnp.int32))
+
+        # Specular transmission child (Whitted.cpp:82-90, PathTracer.cpp:127-135).
+        trans = cont & common.has_positive(kt)
+        tdir, tvalid = common.refract(e["dirn"], hit.normal, 1.0 / ior)
+        state = _push(state, trans & tvalid, hit.point, tdir,
+                      e["weight"] * kt, depth1, hit.prim_kind, hit.prim_id,
+                      jnp.zeros((b,), jnp.int32))
+
+        if shader == C.SHADER_PATHTRACER:
+            # Diffuse indirect child with Russian roulette
+            # (PathTracer.cpp:88-113): always continue while depth <=
+            # RayDepthMin, afterwards continue when u > finishProbability and
+            # compensate by 1 / (continueProbability * 0.5).
+            rr_key = sampling.event_key(keys, it, 2)
+            rr = jax.vmap(lambda k: jax.random.uniform(k, (), jnp.float32))(rr_key)
+            go_indirect = diffuse & (
+                (e["depth"] <= config.depth_min)
+                | (rr > C.RR_FINISH_PROBABILITY))
+            hemi_key = sampling.event_key(keys, it, 3)
+            ndir = sampling.cosine_sample_hemisphere(hemi_key, hit.normal)
+            boost = jnp.where(e["depth"] > config.depth_min,
+                              1.0 / ((1.0 - C.RR_FINISH_PROBABILITY) * 0.5), 1.0)
+            w_ind = e["weight"] * kd * boost[:, None]
+            # Tag the edge when this vertex's NEE succeeded so emission
+            # double-counting is suppressed at the child.
+            nee_hit = common.has_positive(ld)
+            flags = jnp.where(nee_hit, FLAG_DIFFUSE_NEE, 0).astype(jnp.int32)
+            state = _push(state, go_indirect, hit.point, ndir, w_ind, depth1,
+                          hit.prim_kind, hit.prim_id, flags)
+
+        return state, None
+
+    max_iters = 1 if shader == C.SHADER_NOSHADOWS \
+        else config.resolved_max_walk_iters()
+
+    if differentiable:
+        # Fixed trip count => reverse-mode AD works through the walk.
+        state, _ = jax.lax.scan(step, state, jnp.arange(max_iters))
+    else:
+        # Forward-only fast path: stop as soon as every lane's stack is
+        # empty (typical scenes drain after 2-3 bounces).
+        def cond(carry):
+            it, st = carry
+            return (it < max_iters) & jnp.any(st.sp > 0)
+
+        def body(carry):
+            it, st = carry
+            st, _ = step(st, it)
+            return it + 1, st
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
+    return state.rgb, jnp.sum(state.rays)
+
+
+# ---------------------------------------------------------------------------
+# Single-trace shaders (DepthMap / DiffuseMaterial) and dispatch.
+# ---------------------------------------------------------------------------
+
+def shade_depthmap(scene: Scene, config: RenderConfig, tracer: Tracer,
+                   o, d, max_point):
+    """Grayscale by distance (reference DepthMap.cpp:12-17): maxDist =
+    |maxPoint - ray.origin| * 1.1; depth = max((maxDist - t)/maxDist, 0)."""
+    hit = tracer.closest(scene, o, d, jnp.zeros(o.shape[0], jnp.int32),
+                         jnp.full((o.shape[0],), -1, jnp.int32))
+    max_dist = jnp.linalg.norm(max_point - o, axis=-1) * 1.1
+    val = jnp.maximum((max_dist - hit.t) / max_dist, 0.0)
+    return jnp.repeat(val[:, None], 3, axis=1), jnp.asarray(o.shape[0])
+
+
+def shade_diffuse(scene: Scene, config: RenderConfig, tracer: Tracer, o, d):
+    """Flat material visualization (reference DiffuseMaterial.cpp:11-27):
+    first non-zero of Kd / Ks / Kt / Le."""
+    hit = tracer.closest(scene, o, d, jnp.zeros(o.shape[0], jnp.int32),
+                         jnp.full((o.shape[0],), -1, jnp.int32))
+    le, kd, ks, kt, _ = common.bind_material(scene, hit)
+    rgb = jnp.zeros_like(kd)
+    rgb = jnp.where(common.has_positive(le)[:, None], le, rgb)
+    rgb = jnp.where(common.has_positive(kt)[:, None], kt, rgb)
+    rgb = jnp.where(common.has_positive(ks)[:, None], ks, rgb)
+    rgb = jnp.where(common.has_positive(kd)[:, None], kd, rgb)
+    rgb = jnp.where(hit.missed[:, None], 0.0, rgb)
+    return rgb, jnp.asarray(o.shape[0])
+
+
+def trace_image_sample(scene: Scene, config: RenderConfig, o, d, keys,
+                       max_point=None, differentiable: bool = False):
+    """Radiance for one sample of every pixel, dispatching on the shader id
+    the way C_wrapper.cpp:154-194 does."""
+    tracer = make_tracer(config)
+    if config.shader == C.SHADER_DEPTHMAP:
+        if max_point is None:
+            max_point = jnp.ones((3,), jnp.float32)
+        return shade_depthmap(scene, config, tracer, o, d, max_point)
+    if config.shader == C.SHADER_DIFFUSE:
+        return shade_diffuse(scene, config, tracer, o, d)
+    return trace_radiance(scene, config, tracer, o, d, keys,
+                          differentiable=differentiable)
