@@ -30,6 +30,7 @@ def _round_capacity(n: int, multiple: int = 8) -> int:
 class SceneBuilder:
     def __init__(self):
         self._tri = []          # list of dicts
+        self._tri_bulk = []     # list of dict-of-arrays batches
         self._sph = []
         self._pla = []
         self._mat = []          # list of (le, kd, ks, kt, ior, tex_id)
@@ -77,6 +78,19 @@ class SceneBuilder:
             mat_id=int(mat_id)))
         return len(self._tri) - 1
 
+    def add_triangles_bulk(self, point_a, ab, ac, na, nb, nc, uva, uvb, uvc,
+                           mat_id) -> None:
+        """Appends a whole numpy triangle batch at once (OBJ loader path —
+        per-item Python loops would be far too slow at conference scale)."""
+        self._tri_bulk.append(dict(
+            point_a=np.asarray(point_a, np.float32),
+            ab=np.asarray(ab, np.float32), ac=np.asarray(ac, np.float32),
+            na=np.asarray(na, np.float32), nb=np.asarray(nb, np.float32),
+            nc=np.asarray(nc, np.float32),
+            uva=np.asarray(uva, np.float32), uvb=np.asarray(uvb, np.float32),
+            uvc=np.asarray(uvc, np.float32),
+            mat_id=np.asarray(mat_id, np.int32)))
+
     def add_sphere(self, center, radius, mat_id) -> int:
         self._sph.append(dict(
             center=np.asarray(center, np.float32),
@@ -123,7 +137,25 @@ class SceneBuilder:
 
     # -- freeze ------------------------------------------------------------
     def build(self) -> Scene:
-        nt = _round_capacity(len(self._tri))
+        # Merge singly-added triangles and bulk batches into one dict of
+        # numpy arrays.
+        keys = ("point_a", "ab", "ac", "na", "nb", "nc",
+                "uva", "uvb", "uvc", "mat_id")
+        shapes = {"uva": (2,), "uvb": (2,), "uvc": (2,), "mat_id": ()}
+        tdata = {}
+        for k in keys:
+            dt = np.int32 if k == "mat_id" else np.float32
+            parts = []
+            if self._tri:
+                parts.append(np.asarray([t[k] for t in self._tri], dt))
+            parts.extend(np.asarray(b[k], dt) for b in self._tri_bulk)
+            if parts:
+                tdata[k] = np.concatenate(parts, 0)
+            else:
+                tdata[k] = np.zeros((0,) + shapes.get(k, (3,)), dt)
+        num_tri = tdata["mat_id"].shape[0]
+        nt = _round_capacity(num_tri)
+
         ns = _round_capacity(len(self._sph))
         npl = _round_capacity(len(self._pla))
         nm = _round_capacity(len(self._mat))
@@ -135,18 +167,17 @@ class SceneBuilder:
             return np.zeros((0,) + shape, np.float32)
 
         tri = Triangles(
-            point_a=jnp.asarray(_pad_rows(stack(self._tri, "point_a", (3,)), nt)),
-            ab=jnp.asarray(_pad_rows(stack(self._tri, "ab", (3,)), nt, 1.0)),
-            ac=jnp.asarray(_pad_rows(stack(self._tri, "ac", (3,)), nt, 1.0)),
-            normal_a=jnp.asarray(_pad_rows(stack(self._tri, "na", (3,)), nt, 1.0)),
-            normal_b=jnp.asarray(_pad_rows(stack(self._tri, "nb", (3,)), nt, 1.0)),
-            normal_c=jnp.asarray(_pad_rows(stack(self._tri, "nc", (3,)), nt, 1.0)),
-            uv_a=jnp.asarray(_pad_rows(stack(self._tri, "uva", (2,)), nt, -1.0)),
-            uv_b=jnp.asarray(_pad_rows(stack(self._tri, "uvb", (2,)), nt, -1.0)),
-            uv_c=jnp.asarray(_pad_rows(stack(self._tri, "uvc", (2,)), nt, -1.0)),
-            mat_id=jnp.asarray(_pad_rows(
-                np.asarray([t["mat_id"] for t in self._tri], np.int32), nt)),
-            valid=jnp.asarray(np.arange(nt) < len(self._tri)),
+            point_a=jnp.asarray(_pad_rows(tdata["point_a"], nt)),
+            ab=jnp.asarray(_pad_rows(tdata["ab"], nt, 1.0)),
+            ac=jnp.asarray(_pad_rows(tdata["ac"], nt, 1.0)),
+            normal_a=jnp.asarray(_pad_rows(tdata["na"], nt, 1.0)),
+            normal_b=jnp.asarray(_pad_rows(tdata["nb"], nt, 1.0)),
+            normal_c=jnp.asarray(_pad_rows(tdata["nc"], nt, 1.0)),
+            uv_a=jnp.asarray(_pad_rows(tdata["uva"], nt, -1.0)),
+            uv_b=jnp.asarray(_pad_rows(tdata["uvb"], nt, -1.0)),
+            uv_c=jnp.asarray(_pad_rows(tdata["uvc"], nt, -1.0)),
+            mat_id=jnp.asarray(_pad_rows(tdata["mat_id"], nt)),
+            valid=jnp.asarray(np.arange(nt) < num_tri),
         )
         sph = Spheres(
             center=jnp.asarray(_pad_rows(stack(self._sph, "center", (3,)), ns)),

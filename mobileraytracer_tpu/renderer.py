@@ -118,6 +118,9 @@ class Renderer:
 
     def __init__(self, scene: Scene, camera: Camera, config: RenderConfig,
                  max_point=None):
+        if config.accelerator == C.ACC_BVH and scene.bvh is None:
+            from .ops import bvh as bvh_ops
+            scene = bvh_ops.build(scene)
         self.scene = scene
         self.camera = camera
         self.config = config.rounded()

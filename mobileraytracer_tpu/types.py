@@ -173,14 +173,19 @@ class BVH:
     app/MobileRT/Accelerators/BVH.hpp:56-60, 327-384) with a stackless
     hit-link/miss-link layout: traversal is a single index walk, which maps
     to a bounded `while_loop` on TPU instead of divergent stack juggling.
+
+    Nodes are stored in DFS preorder, so an internal node's left child is
+    the next node; `node_skip` is the escape index taken when the node's
+    AABB is missed or a leaf is done.  Triangles are physically reordered at
+    build time so each leaf covers the contiguous range
+    [node_first, node_first + node_count).
     """
 
     node_min: jnp.ndarray    # (K, 3) f32 AABB min
     node_max: jnp.ndarray    # (K, 3) f32 AABB max
-    node_left: jnp.ndarray   # (K,) i32 first child (internal) or ~first-prim (leaf)
+    node_first: jnp.ndarray  # (K,) i32 first triangle of a leaf (0 internal)
     node_skip: jnp.ndarray   # (K,) i32 next node when AABB missed / leaf done
     node_count: jnp.ndarray  # (K,) i32 number of primitives in leaf (0 = internal)
-    prim_ids: jnp.ndarray    # (N,) i32 triangle index per leaf slot (reordered)
 
     @property
     def num_nodes(self) -> int:
