@@ -1,35 +1,36 @@
 #!/usr/bin/env python
-"""Benchmark: rays/s on the canonical workload, printed as one JSON line.
+"""Benchmark: rays/s on the canonical conference workload, printed as one
+JSON line.
 
 Metric definition matches the reference: total casted rays (camera +
 secondary + shadow) divided by render wall time (reference
 app/System_dependent/Native/C_wrapper.cpp:256 "Total Millions rays per
 second"; numerator from the global Ray-id counter, Ray.cpp:26-28).
 
-Workload: the conference OBJ is not vendored by the reference (only
-.cam/.mtl are); until an OBJ is present we benchmark the heaviest
-reference-buildable config: cornellBox2 (area lights, mirror + transmissive
-spheres), Whitted, 512x512, 1 SPP.  vs_baseline is reported against the
-north-star 1e9 rays/s/host target (BASELINE.md) since the reference
-publishes no absolute numbers.
+Workload: the reference's conference OBJ is not vendored (only .cam/.mtl),
+so we render the procedural conference proxy at the reference's exact
+scale — 331,179 triangles, 2 area lights, the real conference.mtl
+materials and conference.cam camera — Whitted, BVH, 512x512, 1 SPP
+(BASELINE.md config #3).  vs_baseline is reported against the north-star
+1e9 rays/s/host target since the reference publishes no absolute numbers.
 """
 import json
 import time
 
 import jax
-import numpy as np
 
 
 def main():
-    from mobileraytracer_tpu import scenes
     from mobileraytracer_tpu import constants as C
-    from mobileraytracer_tpu.renderer import render_frame
+    from mobileraytracer_tpu.bench_scenes import conference_proxy
+    from mobileraytracer_tpu.renderer import Renderer, render_frame
     from mobileraytracer_tpu.types import RenderConfig
+    from mobileraytracer_tpu.ops import block_bvh
 
-    size = 512
-    scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
-    cfg = RenderConfig(width=size, height=size, spp=1,
-                       shader=C.SHADER_WHITTED, accelerator=C.ACC_NAIVE)
+    scene, cam, info = conference_proxy()
+    scene = block_bvh.build(scene)
+    cfg = RenderConfig(width=512, height=512, spp=1,
+                       shader=C.SHADER_WHITTED, accelerator=C.ACC_BVH)
     key = jax.random.PRNGKey(0)
 
     # Warmup / compile.  The scalar fetch is deliberate: on tunneled TPU

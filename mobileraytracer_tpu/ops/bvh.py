@@ -38,7 +38,8 @@ _BIG = C.RAY_LENGTH_MAX
 # Build (host side).
 # ---------------------------------------------------------------------------
 
-def build_triangle_bvh(tris: Triangles) -> Tuple[Triangles, BVH]:
+def build_triangle_bvh(tris: Triangles,
+                       leaf_size: int = LEAF_SIZE) -> Tuple[Triangles, BVH]:
     """Builds the threaded BVH and returns (reordered triangles, bvh).
 
     Only valid triangles participate; padding rows are moved to the tail
@@ -83,7 +84,7 @@ def build_triangle_bvh(tris: Triangles) -> Tuple[Triangles, BVH]:
         node_max.append(bmax)
         range_lo.append(lo)
         range_hi.append(hi)
-        if hi - lo <= LEAF_SIZE:
+        if hi - lo <= leaf_size:
             node_first.append(lo)
             node_count.append(hi - lo)
             out_order[lo:hi] = idx

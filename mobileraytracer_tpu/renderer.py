@@ -24,14 +24,31 @@ from .shaders.engine import trace_image_sample
 from .types import Camera, RenderConfig, Scene
 
 
-def _pixel_uv(config: RenderConfig):
-    """u = x / width, v = y / height — pixel corners, matching
-    Renderer.cpp:108-136."""
+def _pixel_order(config: RenderConfig):
+    """Pixel evaluation order: 4x4 image patches, patch-major.
+
+    Consecutive lanes cover a small square patch so the tile-cooperative
+    BVH traversal (ops/block_bvh.py) sees spatially coherent ray tiles.
+    The counter-based RNG keys by pixel id, so the order never changes the
+    image — only the execution layout.  Returns (u, v, pixel_ids,
+    inverse_permutation) with u = x / width, v = y / height (pixel
+    corners, matching Renderer.cpp:108-136).
+    """
     w, h = config.width, config.height
-    x = jnp.arange(w, dtype=jnp.float32)
-    y = jnp.arange(h, dtype=jnp.float32)
-    u = jnp.tile(x / w, h)                     # row-major: pixel = y * w + x
-    v = jnp.repeat(y / h, w)
+    ph, pw = 4, 4
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    order = np.lexsort((xs.ravel() % pw, ys.ravel() % ph,
+                        xs.ravel() // pw, ys.ravel() // ph))
+    pids = (ys.ravel() * w + xs.ravel())[order].astype(np.int32)
+    inv = np.empty_like(pids)
+    inv[pids] = np.arange(w * h, dtype=np.int32)
+    u = jnp.asarray((pids % w).astype(np.float32) / w)
+    v = jnp.asarray((pids // w).astype(np.float32) / h)
+    return u, v, jnp.asarray(pids), jnp.asarray(inv)
+
+
+def _pixel_uv(config: RenderConfig):
+    u, v, _, _ = _pixel_order(config)
     return u, v
 
 
@@ -63,10 +80,10 @@ def sample_pixels(scene: Scene, camera: Camera, config: RenderConfig,
 def render_sample(scene: Scene, camera: Camera, config: RenderConfig,
                   base_key: jax.Array, sample_idx, max_point=None,
                   differentiable: bool = False):
-    """Traces one sample of every pixel; returns (rgb (B,3), rays)."""
-    w, h = config.width, config.height
-    u, v = _pixel_uv(config)
-    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    """Traces one sample of every pixel in patch-major lane order;
+    returns (rgb (B,3) in lane order, rays).  Use `_pixel_order`'s inverse
+    permutation to go back to row-major pixels."""
+    u, v, pixel_ids, _ = _pixel_order(config)
     return sample_pixels(scene, camera, config, base_key, sample_idx, u, v,
                          pixel_ids, max_point=max_point,
                          differentiable=differentiable)
@@ -82,6 +99,7 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig,
       numerator, Renderer.cpp:204-207)
     """
     w, h = config.width, config.height
+    _, _, _, inv = _pixel_order(config)
 
     if config.accumulation == "int_parity":
         def body(carry, s):
@@ -91,6 +109,7 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig,
             return (bitmap, rays + r), None
         init = (jnp.zeros((w * h,), jnp.int32), jnp.zeros((), jnp.int32))
         (bitmap, rays), _ = jax.lax.scan(body, init, jnp.arange(config.spp))
+        bitmap = bitmap[inv]
         image = film.unpack_abgr(bitmap)
     else:
         def body(carry, s):
@@ -100,7 +119,7 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig,
             return (accum, rays + r), None
         init = (jnp.zeros((w * h, 3), jnp.float32), jnp.zeros((), jnp.int32))
         (accum, rays), _ = jax.lax.scan(body, init, jnp.arange(config.spp))
-        image = accum
+        image = accum[inv]
         bitmap = film.quantize_abgr(image)
 
     return {
@@ -119,8 +138,11 @@ class Renderer:
     def __init__(self, scene: Scene, camera: Camera, config: RenderConfig,
                  max_point=None):
         if config.accelerator == C.ACC_BVH and scene.bvh is None:
-            from .ops import bvh as bvh_ops
-            scene = bvh_ops.build(scene)
+            # The block traversal is the production TPU path (see
+            # ops/block_bvh.py); the escape-index walk stays available for
+            # comparison via ops.bvh.build.
+            from .ops import block_bvh
+            scene = block_bvh.build(scene)
         self.scene = scene
         self.camera = camera
         self.config = config.rounded()
@@ -131,6 +153,7 @@ class Renderer:
         self.total_rays = 0
         w, h = self.config.width, self.config.height
         self._accum = jnp.zeros((w * h, 3), jnp.float32)
+        _, _, _, self._inv = _pixel_order(self.config)
         self._key = jax.random.PRNGKey(self.config.seed)
         self._step = jax.jit(
             lambda scene, camera, key, accum, s: self._step_impl(
@@ -156,12 +179,13 @@ class Renderer:
     @property
     def image(self) -> np.ndarray:
         w, h = self.config.width, self.config.height
-        return np.asarray(self._accum).reshape(h, w, 3)
+        return np.asarray(self._accum[self._inv]).reshape(h, w, 3)
 
     @property
     def bitmap(self) -> np.ndarray:
         w, h = self.config.width, self.config.height
-        return np.asarray(film.quantize_abgr(self._accum)).reshape(h, w)
+        return np.asarray(
+            film.quantize_abgr(self._accum[self._inv])).reshape(h, w)
 
     def render(self, callback: Optional[Callable] = None) -> np.ndarray:
         """Runs up to config.spp samples; `callback(renderer)` fires after

@@ -51,9 +51,19 @@ def make_tracer(config: RenderConfig) -> Tracer:
         return Tracer(closest=intersect.intersect_scene_naive,
                       occluded=intersect.occluded_naive)
     if config.accelerator == C.ACC_BVH:
-        from ..ops import bvh as bvh_ops
-        return Tracer(closest=bvh_ops.intersect_scene_bvh,
-                      occluded=bvh_ops.occluded_bvh)
+        from ..ops import block_bvh, bvh as bvh_ops
+
+        def closest(scene, o, d, pk, pi):
+            if isinstance(scene.bvh, block_bvh.BlockGrid):
+                return block_bvh.intersect_scene_blocks(scene, o, d, pk, pi)
+            return bvh_ops.intersect_scene_bvh(scene, o, d, pk, pi)
+
+        def occluded(scene, o, d, md, pk, pi):
+            if isinstance(scene.bvh, block_bvh.BlockGrid):
+                return block_bvh.occluded_blocks(scene, o, d, md, pk, pi)
+            return bvh_ops.occluded_bvh(scene, o, d, md, pk, pi)
+
+        return Tracer(closest=closest, occluded=occluded)
     raise ValueError(f"unknown accelerator {config.accelerator}")
 
 
