@@ -23,6 +23,13 @@ from .cameras import generate_rays
 from .shaders.engine import trace_image_sample
 from .types import Camera, RenderConfig, Scene
 
+# Render lifecycle states (reference JNI_layer.hpp:12-14 {IDLE, BUSY,
+# FINISHED, STOPPED} and constants/State.java).
+STATE_IDLE = "IDLE"
+STATE_BUSY = "BUSY"
+STATE_FINISHED = "FINISHED"
+STATE_STOPPED = "STOPPED"
+
 
 def _pixel_order(config: RenderConfig):
     """Pixel evaluation order: 4x4 image patches, patch-major.
@@ -61,8 +68,20 @@ def sample_pixels(scene: Scene, camera: Camera, config: RenderConfig,
     keys = sampling.ray_key(base_key, pixel_ids, sample_idx)
 
     if config.resolved_pixel_jitter():
-        jkeys = sampling.event_key(keys, 0, sampling.PURPOSE_PIXEL_JITTER)
-        r = jax.vmap(lambda k: jax.random.uniform(k, (2,), jnp.float32))(jkeys)
+        if config.pixel_sampler == "halton":
+            # (2,3)-Halton over the sample index with a per-pixel
+            # Cranley-Patterson rotation for decorrelation.
+            jkeys = sampling.event_key(keys, 0, sampling.PURPOSE_PIXEL_JITTER)
+            off = jax.vmap(
+                lambda k: jax.random.uniform(k, (2,), jnp.float32))(jkeys)
+            h2 = sampling.halton(jnp.full_like(pixel_ids, sample_idx), 2)
+            h3 = sampling.halton(jnp.full_like(pixel_ids, sample_idx), 3)
+            r = jnp.stack([jnp.mod(h2 + off[:, 0], 1.0),
+                           jnp.mod(h3 + off[:, 1], 1.0)], -1)
+        else:
+            jkeys = sampling.event_key(keys, 0, sampling.PURPOSE_PIXEL_JITTER)
+            r = jax.vmap(
+                lambda k: jax.random.uniform(k, (2,), jnp.float32))(jkeys)
         # deviation = (r - 0.5) * 2 * (0.5 / size)  (Renderer.cpp:137-140)
         dev_u = (r[:, 0] - 0.5) * 2.0 * (0.5 / w)
         dev_v = (r[:, 1] - 0.5) * 2.0 * (0.5 / h)
@@ -143,6 +162,9 @@ class Renderer:
             # comparison via ops.bvh.build.
             from .ops import block_bvh
             scene = block_bvh.build(scene)
+        elif config.accelerator == C.ACC_REGULAR_GRID and scene.bvh is None:
+            from .ops import grid as grid_ops
+            scene = grid_ops.build_grid(scene)
         self.scene = scene
         self.camera = camera
         self.config = config.rounded()
@@ -151,6 +173,8 @@ class Renderer:
         self._stop = False
         self.sample = 0
         self.total_rays = 0
+        self.state = STATE_IDLE
+        self.fps = 0.0
         w, h = self.config.width, self.config.height
         self._accum = jnp.zeros((w * h, 3), jnp.float32)
         _, _, _, self._inv = _pixel_order(self.config)
@@ -173,6 +197,7 @@ class Renderer:
         self._stop = False
         self.sample = 0
         self.total_rays = 0
+        self.state = STATE_IDLE
         w, h = self.config.width, self.config.height
         self._accum = jnp.zeros((w * h, 3), jnp.float32)
 
@@ -189,14 +214,59 @@ class Renderer:
 
     def render(self, callback: Optional[Callable] = None) -> np.ndarray:
         """Runs up to config.spp samples; `callback(renderer)` fires after
-        each sample (the progressive-display hook)."""
+        each sample (the progressive-display hook, like the live-bitmap
+        polling of the Android UI, RenderTask.kt:284-317)."""
         t0 = time.perf_counter()
+        self.state = STATE_BUSY
         while self.sample < self.config.spp and not self._stop:
+            ts = time.perf_counter()
             self._accum, rays = self._step(
                 self.scene, self.camera, self._key, self._accum, self.sample)
+            self._accum.block_until_ready()
             self.sample += 1
             self.total_rays += int(np.asarray(rays))
+            self.fps = 1.0 / max(time.perf_counter() - ts, 1e-9)
             if callback is not None:
                 callback(self)
         self.render_seconds = time.perf_counter() - t0
+        self.state = STATE_STOPPED if self._stop else STATE_FINISHED
         return self.image
+
+    def preview(self) -> np.ndarray:
+        """Fast single-sample DiffuseMaterial pass — the analogue of the
+        Android GL-rasterized preview (MainRenderer.java renderSceneToBitmap)
+        as a flat-color ray pass."""
+        import dataclasses as _dc
+        cfg = _dc.replace(self.config, shader=C.SHADER_DIFFUSE, spp=1)
+        out = render_frame(self.scene, self.camera, cfg, self._key,
+                           self.max_point)
+        return np.asarray(out["image"])
+
+    def stats_line(self) -> str:
+        """Live stats string mirroring the Android UI's RenderTask line
+        (RenderTask.kt:169-260)."""
+        from .types import scene_num_primitives
+        prims = scene_num_primitives(self.scene)
+        n_prims = prims["triangles"] + prims["spheres"] + prims["planes"]
+        return (f"fps:{self.fps:.1f} r:{self.config.width}x"
+                f"{self.config.height} spp:{self.config.spp} "
+                f"sample:{self.sample} state:{self.state} "
+                f"p:{n_prims} l:{prims['lights']}")
+
+    # -- checkpoint / resume (aux subsystem; the reference's open TODO) ---
+    def save_checkpoint(self, path: str) -> None:
+        from .utils.checkpoint import save_render_state
+        save_render_state(path, self._accum, self.sample, self.total_rays,
+                          self.config)
+
+    def load_checkpoint(self, path: str) -> None:
+        from .utils.checkpoint import load_render_state
+        accum, sample, rays, config, _ = load_render_state(path)
+        if config != self.config:
+            raise ValueError("checkpoint config does not match renderer "
+                             f"config: {config} vs {self.config}")
+        self._accum = accum
+        self.sample = sample
+        self.total_rays = rays
+        self._stop = False
+        self.state = STATE_IDLE

@@ -46,10 +46,23 @@ class Tracer(NamedTuple):
 
 
 def make_tracer(config: RenderConfig) -> Tracer:
-    if config.accelerator in (C.ACC_NONE, C.ACC_NAIVE, C.ACC_REGULAR_GRID):
-        # Regular grid: pending; falls back to naive (same results).
+    if config.accelerator in (C.ACC_NONE, C.ACC_NAIVE):
         return Tracer(closest=intersect.intersect_scene_naive,
                       occluded=intersect.occluded_naive)
+    if config.accelerator == C.ACC_REGULAR_GRID:
+        from ..ops import grid as grid_ops
+
+        def closest_g(scene, o, d, pk, pi):
+            if isinstance(scene.bvh, grid_ops.RegularGrid):
+                return grid_ops.intersect_scene_grid(scene, o, d, pk, pi)
+            return intersect.intersect_scene_naive(scene, o, d, pk, pi)
+
+        def occluded_g(scene, o, d, md, pk, pi):
+            if isinstance(scene.bvh, grid_ops.RegularGrid):
+                return grid_ops.occluded_grid(scene, o, d, md, pk, pi)
+            return intersect.occluded_naive(scene, o, d, md, pk, pi)
+
+        return Tracer(closest=closest_g, occluded=occluded_g)
     if config.accelerator == C.ACC_BVH:
         from ..ops import block_bvh, bvh as bvh_ops
 
