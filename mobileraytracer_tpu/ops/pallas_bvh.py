@@ -1,0 +1,415 @@
+"""Pallas TPU traversal kernel for the two-level block BVH.
+
+The XLA formulation in ops/block_bvh.py phase C does a *fixed* `top_m`-step
+scan whose per-step block gathers XLA lowers as giant dynamic-slice loops —
+every ray tile pays for all `top_m` candidate blocks even when the first
+one already contains the closest hit.  This module keeps the same
+two-level candidate selection (dense super culling + per-subtile block
+top-k, both pure XLA and VPU-friendly) but runs the hot triangle loop as a
+hand-written Pallas kernel:
+
+  - triangle blocks live packed in HBM as (NB, 16, 128) component rows —
+    128 triangles per block along the lane axis;
+  - each Pallas program owns GROUP subtiles of ST=16 coherent rays; per
+    subtile it walks that subtile's candidate blocks *in entry-distance
+    order* with a `while_loop`, DMA-ing one (16, 128) block from HBM to
+    VMEM per step and intersecting all 16 rays against all 128 triangles
+    as dense (16, 128) VPU ops (componentwise Moller-Trumbore, reference
+    acceptance tests app/MobileRT/Shapes/Triangle.cpp:63-109);
+  - the walk STOPS as soon as the next block's entry distance exceeds the
+    subtile's worst current hit — the TPU analogue of the reference's
+    near-child-first stack traversal early-out
+    (app/MobileRT/Accelerators/BVH.hpp:327-384), which XLA's fixed scan
+    cannot express;
+  - shadow rays use an any-hit variant that additionally stops once every
+    ray in the subtile is occluded (BVH.hpp shadow early-out).
+
+Exactness contract: identical to ops/block_bvh.py — `top_s`/`top_m` are
+budgets; parity with the naive oracle is enforced in tests for every
+shipped scene at the defaults.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import constants as C
+from ..types import Hit, Scene, Triangles
+from . import intersect as nv
+from .block_bvh import _entry_cw
+from .bvh import build_triangle_bvh
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = C.RAY_LENGTH_MAX
+
+LANES = 128            # triangles per block == lane width
+ST = 16                # rays per subtile (candidate-selection granularity)
+GROUP = 8              # subtiles per Pallas program
+DEFAULT_BPS = 16       # blocks per super
+DEFAULT_TOP_S = 32     # candidate supers per subtile
+DEFAULT_TOP_M = 48     # candidate blocks per subtile
+_RAY_CHUNK = 65536
+
+
+def _interpret() -> bool:
+    # "axon" is a tunneled TPU backend; everything else (cpu test meshes)
+    # runs the kernel in interpreter mode.
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@struct.dataclass
+class PallasGrid:
+    """Two-level block table packed for the Pallas traversal kernel."""
+    super_lo: jnp.ndarray     # (3, K1)
+    super_hi: jnp.ndarray     # (3, K1)
+    block_lo: jnp.ndarray     # (3, K1, BPS)
+    block_hi: jnp.ndarray     # (3, K1, BPS)
+    block_first: jnp.ndarray  # (K1, BPS) i32, first slot of the block
+    block_count: jnp.ndarray  # (K1, BPS) i32, 0 on padding
+    # Packed triangle blocks: rows 0-2 point_a xyz, 3-5 ab, 6-8 ac,
+    # 9 validity (1.0/0.0), 10-15 zero padding to a full 16-sublane tile.
+    tb: jnp.ndarray           # (NB, 16, LANES) f32, NB = K1 * BPS
+    top_s: int = struct.field(pytree_node=False, default=DEFAULT_TOP_S)
+    top_m: int = struct.field(pytree_node=False, default=DEFAULT_TOP_M)
+
+    @property
+    def num_supers(self) -> int:
+        return self.super_lo.shape[1]
+
+
+def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
+                 top_s: int = DEFAULT_TOP_S,
+                 top_m: int = DEFAULT_TOP_M) -> Tuple[Triangles, PallasGrid]:
+    """Median-split build cut at LANES-triangle leaves, packed for Pallas."""
+    tris2, bvh = build_triangle_bvh(tris, leaf_size=LANES)
+    counts = np.asarray(bvh.node_count)
+    leaf = counts > 0
+    bmin = np.asarray(bvh.node_min)[leaf]
+    bmax = np.asarray(bvh.node_max)[leaf]
+    bfirst = np.asarray(bvh.node_first)[leaf]
+    bcount = counts[leaf]
+    k = bmin.shape[0]
+
+    bps = min(blocks_per_super, max(k, 1))
+    k1 = max(1, -(-k // bps))
+    padded = k1 * bps
+
+    def pad(a, fill):
+        out = np.full((padded,) + a.shape[1:], fill, a.dtype)
+        out[:k] = a
+        return out
+
+    bmin_p = pad(bmin, np.float32(3e38)).reshape(k1, bps, 3)
+    bmax_p = pad(bmax, np.float32(-3e38)).reshape(k1, bps, 3)
+    bfirst_p = pad(bfirst, np.int32(0)).reshape(k1, bps)
+    bcount_p = pad(bcount.astype(np.int32), np.int32(0)).reshape(k1, bps)
+
+    pa = np.asarray(tris2.point_a)
+    ab = np.asarray(tris2.ab)
+    ac = np.asarray(tris2.ac)
+    va = np.asarray(tris2.valid).astype(np.float32)
+    tb = np.zeros((padded, 16, LANES), np.float32)
+    bf = bfirst_p.reshape(-1)
+    bc = bcount_p.reshape(-1)
+    for bi in range(padded):
+        cnt = int(bc[bi])
+        if cnt == 0:
+            continue
+        f0 = int(bf[bi])
+        tb[bi, 0:3, :cnt] = pa[f0:f0 + cnt].T
+        tb[bi, 3:6, :cnt] = ab[f0:f0 + cnt].T
+        tb[bi, 6:9, :cnt] = ac[f0:f0 + cnt].T
+        tb[bi, 9, :cnt] = va[f0:f0 + cnt]
+
+    grid = PallasGrid(
+        super_lo=jnp.asarray(bmin_p.min(1).T.copy()),
+        super_hi=jnp.asarray(bmax_p.max(1).T.copy()),
+        block_lo=jnp.asarray(np.moveaxis(bmin_p, 2, 0).copy()),
+        block_hi=jnp.asarray(np.moveaxis(bmax_p, 2, 0).copy()),
+        block_first=jnp.asarray(bfirst_p),
+        block_count=jnp.asarray(bcount_p),
+        tb=jnp.asarray(tb),
+        top_s=min(top_s, k1),
+        top_m=min(top_m, k1 * bps),
+    )
+    return tris2, grid
+
+
+# ---------------------------------------------------------------------------
+# Candidate selection (XLA): per ST-ray subtile, the top_m nearest candidate
+# blocks in entry order — same phases A/B as ops/block_bvh.py.
+# ---------------------------------------------------------------------------
+
+def _candidates(grid: PallasGrid, o, d):
+    """Returns (cand_gid, cand_first, cand_entry), each (n_subtiles, top_m);
+    entries ascend along the last axis (inf on non-candidates)."""
+    b = o.shape[0]
+    nt = b // ST
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                            jnp.where(d < 0, -1e-30, 1e-30), d)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+
+    e_super = _entry_cw(
+        ox[:, None], oy[:, None], oz[:, None],
+        ix[:, None], iy[:, None], iz[:, None],
+        grid.super_lo[:, None, :], grid.super_hi[:, None, :])      # (B, K1)
+    e_super_t = jnp.min(e_super.reshape(nt, ST, -1), axis=1)       # (nt, K1)
+    s = grid.top_s
+    neg_s, sup_ids = jax.lax.top_k(-e_super_t, s)
+    sup_ok = jnp.isfinite(-neg_s)
+
+    cb_lo = grid.block_lo[:, sup_ids]     # (3, nt, s, BPS)
+    cb_hi = grid.block_hi[:, sup_ids]
+    cb_first = grid.block_first[sup_ids]  # (nt, s, BPS)
+    cb_count = grid.block_count[sup_ids]
+    bps = cb_first.shape[2]
+    nc = s * bps
+
+    def tile_ray(c):
+        return c.reshape(nt, ST, 1)
+
+    e_blk = _entry_cw(
+        tile_ray(ox), tile_ray(oy), tile_ray(oz),
+        tile_ray(ix), tile_ray(iy), tile_ray(iz),
+        cb_lo.reshape(3, nt, 1, nc), cb_hi.reshape(3, nt, 1, nc))  # (nt,ST,nc)
+    cand_ok = (cb_count.reshape(nt, nc) > 0) & jnp.repeat(sup_ok, bps, 1)
+    e_blk = jnp.where(cand_ok[:, None, :], e_blk, jnp.inf)
+    e_blk_t = jnp.min(e_blk, axis=1)                               # (nt, nc)
+
+    m = min(grid.top_m, nc)
+    neg_b, cand = jax.lax.top_k(-e_blk_t, m)                       # (nt, m)
+    cand_entry = -neg_b
+    cand_first = jnp.take_along_axis(cb_first.reshape(nt, nc), cand, 1)
+    gids = (sup_ids[:, :, None] * bps
+            + jnp.arange(bps, dtype=jnp.int32)[None, None, :])
+    cand_gid = jnp.take_along_axis(gids.reshape(nt, nc), cand, 1)
+    # Clamp padding-candidate ids so the kernel's DMA source stays in
+    # bounds (their entry is +inf, so the walk never reaches them; valid=0
+    # masks them if it does).
+    nb = grid.tb.shape[0]
+    cand_gid = jnp.clip(cand_gid, 0, nb - 1)
+    return cand_gid, cand_first, jnp.where(jnp.isfinite(cand_entry),
+                                           cand_entry, _BIG)
+
+
+# ---------------------------------------------------------------------------
+# The Pallas kernel.
+# ---------------------------------------------------------------------------
+
+def _mt_block(rays, tr, first_f):
+    """Dense (ST, LANES) Moller-Trumbore of one packed block against one
+    subtile.  rays: (ST, 8) [ox oy oz dx dy dz t_init prev]; tr: (16, LANES)
+    packed rows.  Returns (t, slot) with misses/self-hits at _BIG."""
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    prev = rays[:, 7:8]
+    pax, pay, paz = tr[0:1, :], tr[1:2, :], tr[2:3, :]
+    abx, aby, abz = tr[3:4, :], tr[4:5, :], tr[5:6, :]
+    acx, acy, acz = tr[6:7, :], tr[7:8, :], tr[8:9, :]
+    tvalid = tr[9:10, :] > 0.5
+
+    px = dy * acz - dz * acy
+    py = dz * acx - dx * acz
+    pz = dx * acy - dy * acx
+    det = abx * px + aby * py + abz * pz
+    inv = 1.0 / jnp.where(jnp.abs(det) < C.EPSILON, 1.0, det)
+    tvx = ox - pax
+    tvy = oy - pay
+    tvz = oz - paz
+    u = inv * (tvx * px + tvy * py + tvz * pz)
+    qx = tvy * abz - tvz * aby
+    qy = tvz * abx - tvx * abz
+    qz = tvx * aby - tvy * abx
+    v = inv * (dx * qx + dy * qy + dz * qz)
+    t = inv * (acx * qx + acy * qy + acz * qz)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(
+        jnp.float32)
+    slot = first_f + lane                                    # (1, LANES)
+    ok = ((jnp.abs(det) >= C.EPSILON) & (u >= 0.0) & (u <= 1.0)
+          & (v >= 0.0) & (u + v <= 1.0) & (t >= C.EPSILON)
+          & tvalid & (slot != prev))
+    return jnp.where(ok, t, _BIG), jnp.broadcast_to(slot, t.shape)
+
+
+def _make_kernel(m: int, any_hit: bool):
+    def kernel(gid_ref, first_ref, entry_ref, rays_ref, tb_ref,
+               t_out, id_out, scratch, sem):
+        for g in range(GROUP):
+            rays = rays_ref[g * ST:(g + 1) * ST, :]          # (ST, 8)
+            t_init = rays[:, 6:7]                            # (ST, 1)
+
+            def start(i):
+                gid = gid_ref[0, 0, g * m + i]
+                sl = jax.lax.rem(i, 2)
+                pltpu.make_async_copy(
+                    tb_ref.at[gid], scratch.at[sl], sem.at[sl]).start()
+
+            start(jnp.int32(0))
+
+            def cond(carry):
+                i, t_best, _ = carry
+                go = (i < m) & (entry_ref[0, 0, g * m + i] < jnp.max(t_best))
+                if any_hit:
+                    go = go & ~jnp.all(t_best < t_init)
+                return go
+
+            def body(carry):
+                i, t_best, slot_best = carry
+                sl = jax.lax.rem(i, 2)
+                pltpu.make_async_copy(
+                    tb_ref.at[gid_ref[0, 0, g * m + i]], scratch.at[sl],
+                    sem.at[sl]).wait()
+                # Prefetch the next candidate while this one computes.
+                @pl.when(i + 1 < m)
+                def _():
+                    start(i + 1)
+                first_f = first_ref[0, 0, g * m + i].astype(jnp.float32)
+                t, slot = _mt_block(rays, scratch[sl],
+                                    first_f.reshape(1, 1))
+                t = jnp.where(t < t_best, t, _BIG)
+                tmin = jnp.min(t, axis=1, keepdims=True)     # (ST, 1)
+                smin = jnp.min(jnp.where(t <= tmin, slot, _BIG),
+                               axis=1, keepdims=True)
+                closer = tmin < t_best
+                return (i + 1,
+                        jnp.where(closer, tmin, t_best),
+                        jnp.where(closer, smin, slot_best))
+
+            init = (jnp.int32(0), t_init,
+                    jnp.full((ST, 1), -1.0, jnp.float32))
+            i_fin, t_best, slot_best = jax.lax.while_loop(cond, body, init)
+
+            # Drain the in-flight DMA if the walk stopped early (block
+            # i_fin was started either by warm-up or by body(i_fin - 1)).
+            @pl.when(i_fin < m)
+            def _():
+                sl = jax.lax.rem(i_fin, 2)
+                pltpu.make_async_copy(
+                    tb_ref.at[gid_ref[0, 0, g * m + i_fin]], scratch.at[sl],
+                    sem.at[sl]).wait()
+
+            t_out[g * ST:(g + 1) * ST, :] = t_best
+            id_out[g * ST:(g + 1) * ST, :] = slot_best
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("m", "any_hit", "interpret"))
+def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
+                     m: int, any_hit: bool, interpret: bool):
+    """rays: (Bp, 8) with Bp a multiple of GROUP*ST.  Returns (t, slot_f32)
+    each (Bp, 1)."""
+    bp = rays.shape[0]
+    n_groups = bp // (GROUP * ST)
+    grid = (n_groups,)
+    kernel = _make_kernel(m, any_hit)
+    t, sid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # (n_groups, 1, GROUP*m): the last two dims of each block equal
+            # the array dims, as the Mosaic SMEM block rule requires.
+            pl.BlockSpec((1, 1, GROUP * m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, GROUP * m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, GROUP * m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP * ST, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((GROUP * ST, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP * ST, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(cand_gid.reshape(n_groups, 1, GROUP * m),
+      cand_first.reshape(n_groups, 1, GROUP * m),
+      cand_entry.reshape(n_groups, 1, GROUP * m),
+      rays, tb)
+    return t, sid
+
+
+def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
+             prev_id, any_hit: bool = False):
+    """Closest-hit (or any-hit) over the triangle set.  Returns
+    (t_best (B,), best_id (B,) int32 with -1 for miss)."""
+    b = o.shape[0]
+    t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
+    unit = GROUP * ST
+    bp = -(-b // unit) * unit
+    pad = bp - b
+
+    guard = prev_kind == C.PRIM_TRIANGLE
+    prev_f = jnp.where(guard, prev_id, -1).astype(jnp.float32)
+    rays = jnp.concatenate(
+        [o, d, t0[:, None], prev_f[:, None]], axis=1)        # (B, 8)
+    if pad:
+        filler = jnp.zeros((pad, 8), jnp.float32).at[:, 3].set(1.0)
+        rays = jnp.concatenate([rays, filler], 0)
+
+    cand_gid, cand_first, cand_entry = _candidates(
+        grid, rays[:, 0:3], rays[:, 3:6])
+    m = cand_gid.shape[1]
+
+    t, sid = _traverse_padded(grid.tb, cand_gid, cand_first, cand_entry,
+                              rays, m, any_hit, _interpret())
+    t = t[:b, 0]
+    sid = sid[:b, 0]
+    hit = t < t0
+    return jnp.where(hit, t, _BIG), jnp.where(hit, sid.astype(jnp.int32), -1)
+
+
+# ---------------------------------------------------------------------------
+# Scene-level dispatch (mirrors ops/block_bvh.py).
+# ---------------------------------------------------------------------------
+
+def build(scene: Scene, **kwargs) -> Scene:
+    """Attaches the Pallas block table to the scene (reordering its
+    triangles).  Stored in the scene's `bvh` slot as a PallasGrid."""
+    tris2, grid = build_blocks(scene.triangles, **kwargs)
+    return scene.replace(triangles=tris2, bvh=grid)
+
+
+def intersect_scene_pallas(scene: Scene, o, d, prev_kind, prev_id,
+                           t_max=_BIG) -> Hit:
+    grid = scene.bvh
+    assert isinstance(grid, PallasGrid), "call ops.pallas_bvh.build first"
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+    t_pl, id_pl = nv.closest_planes(scene.planes, o, d, tm, prev_kind, prev_id)
+    t_sp, id_sp = nv.closest_spheres(scene.spheres, o, d, tm, prev_kind, prev_id)
+    t_tr, id_tr = traverse(grid, scene.triangles, o, d, tm, prev_kind, prev_id)
+    t_tr = jnp.where(id_tr >= 0, t_tr, _BIG)
+    t_li, id_li = nv.closest_lights(scene.lights, o, d, tm, prev_kind, prev_id)
+    return nv._fill_hit(scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
+                        t_li, id_li)
+
+
+def occluded_pallas(scene: Scene, o, d, max_dist, prev_kind, prev_id):
+    grid = scene.bvh
+    assert isinstance(grid, PallasGrid), "call ops.pallas_bvh.build first"
+    md = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (o.shape[0],))
+    t_pl, _ = nv.closest_planes(scene.planes, o, d, md, prev_kind, prev_id)
+    t_sp, _ = nv.closest_spheres(scene.spheres, o, d, md, prev_kind, prev_id)
+    t_tr, id_tr = traverse(grid, scene.triangles, o, d, md, prev_kind,
+                           prev_id, any_hit=True)
+    return (id_tr >= 0) | (t_pl < md) | (t_sp < md)

@@ -157,11 +157,16 @@ class Renderer:
     def __init__(self, scene: Scene, camera: Camera, config: RenderConfig,
                  max_point=None):
         if config.accelerator == C.ACC_BVH and scene.bvh is None:
-            # The block traversal is the production TPU path (see
-            # ops/block_bvh.py); the escape-index walk stays available for
-            # comparison via ops.bvh.build.
-            from .ops import block_bvh
-            scene = block_bvh.build(scene)
+            # The Pallas kernel traversal is the production TPU path (see
+            # ops/pallas_bvh.py); on CPU backends the XLA block traversal
+            # (ops/block_bvh.py) avoids interpret-mode overhead; the
+            # escape-index walk stays available via ops.bvh.build.
+            if jax.default_backend() in ("tpu", "axon"):
+                from .ops import pallas_bvh
+                scene = pallas_bvh.build(scene)
+            else:
+                from .ops import block_bvh
+                scene = block_bvh.build(scene)
         elif config.accelerator == C.ACC_REGULAR_GRID and scene.bvh is None:
             from .ops import grid as grid_ops
             scene = grid_ops.build_grid(scene)

@@ -64,14 +64,18 @@ def make_tracer(config: RenderConfig) -> Tracer:
 
         return Tracer(closest=closest_g, occluded=occluded_g)
     if config.accelerator == C.ACC_BVH:
-        from ..ops import block_bvh, bvh as bvh_ops
+        from ..ops import block_bvh, bvh as bvh_ops, pallas_bvh
 
         def closest(scene, o, d, pk, pi):
+            if isinstance(scene.bvh, pallas_bvh.PallasGrid):
+                return pallas_bvh.intersect_scene_pallas(scene, o, d, pk, pi)
             if isinstance(scene.bvh, block_bvh.BlockGrid):
                 return block_bvh.intersect_scene_blocks(scene, o, d, pk, pi)
             return bvh_ops.intersect_scene_bvh(scene, o, d, pk, pi)
 
         def occluded(scene, o, d, md, pk, pi):
+            if isinstance(scene.bvh, pallas_bvh.PallasGrid):
+                return pallas_bvh.occluded_pallas(scene, o, d, md, pk, pi)
             if isinstance(scene.bvh, block_bvh.BlockGrid):
                 return block_bvh.occluded_blocks(scene, o, d, md, pk, pi)
             return bvh_ops.occluded_bvh(scene, o, d, md, pk, pi)
