@@ -25,10 +25,14 @@ def main():
     from mobileraytracer_tpu.bench_scenes import conference_proxy
     from mobileraytracer_tpu.renderer import Renderer, render_frame
     from mobileraytracer_tpu.types import RenderConfig
-    from mobileraytracer_tpu.ops import block_bvh
 
     scene, cam, info = conference_proxy()
-    scene = block_bvh.build(scene)
+    if jax.default_backend() in ("tpu", "axon"):
+        from mobileraytracer_tpu.ops import pallas_bvh
+        scene = pallas_bvh.build(scene)
+    else:
+        from mobileraytracer_tpu.ops import block_bvh
+        scene = block_bvh.build(scene)
     cfg = RenderConfig(width=512, height=512, spp=1,
                        shader=C.SHADER_WHITTED, accelerator=C.ACC_BVH)
     key = jax.random.PRNGKey(0)

@@ -75,3 +75,9 @@ SCENE_SPHERES = 1
 SCENE_CORNELL2 = 2
 SCENE_SPHERES2 = 3
 SCENE_OBJ = 4
+
+# Far-away-but-finite ray origin used to park dead/masked lanes: every
+# AABB/primitive test misses (so accelerator subtiles whose lanes are all
+# parked exit their walk immediately), yet all intermediate products stay
+# finite in float32, keeping reverse-mode AD NaN-free.
+FAR_SENTINEL = 1.0e7

@@ -38,6 +38,57 @@ _BIG = C.RAY_LENGTH_MAX
 # Build (host side).
 # ---------------------------------------------------------------------------
 
+_SAH_BUCKETS = 10  # reference bucket count (BVH.hpp getSplitIndexSah)
+
+
+def _sah_split(cen_axis: np.ndarray, bmin: np.ndarray, bmax: np.ndarray):
+    """Binned SAH split (the reference's 10-bucket strategy,
+    BVH.hpp:398-439): bucket centroids along the longest axis, pick the
+    bucket boundary minimizing count*surfaceArea left + right.  Returns
+    (mid, permutation) partitioning [0, n) into [0, mid) and [mid, n).
+    Falls back to a median split when centroids are degenerate."""
+    n = cen_axis.shape[0]
+    c0, c1 = cen_axis.min(), cen_axis.max()
+    if c1 - c0 < 1e-12:
+        mid = n // 2
+        return mid, np.argpartition(cen_axis, mid)
+
+    nb = _SAH_BUCKETS
+    bins = np.minimum(((cen_axis - c0) / (c1 - c0) * nb).astype(np.int64),
+                      nb - 1)
+    counts = np.bincount(bins, minlength=nb)
+
+    big = np.float64(1e30)
+    lo_b = np.full((nb, 3), big)
+    hi_b = np.full((nb, 3), -big)
+    for b in range(nb):
+        sel = bins == b
+        if counts[b]:
+            lo_b[b] = bmin[sel].min(0)
+            hi_b[b] = bmax[sel].max(0)
+
+    def area(lo, hi):
+        e = np.maximum(hi - lo, 0.0)
+        return 2.0 * (e[:, 0] * e[:, 1] + e[:, 0] * e[:, 2]
+                      + e[:, 1] * e[:, 2])
+
+    pre_lo = np.minimum.accumulate(lo_b, 0)
+    pre_hi = np.maximum.accumulate(hi_b, 0)
+    suf_lo = np.minimum.accumulate(lo_b[::-1], 0)[::-1]
+    suf_hi = np.maximum.accumulate(hi_b[::-1], 0)[::-1]
+    nl = np.cumsum(counts)[:-1]                     # left counts per cut
+    nr = n - nl
+    cost = (nl * area(pre_lo[:-1], pre_hi[:-1])
+            + nr * area(suf_lo[1:], suf_hi[1:]))
+    cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+    if not np.isfinite(cost).any():
+        mid = n // 2
+        return mid, np.argpartition(cen_axis, mid)
+    cut = int(np.argmin(cost))                      # split after bucket `cut`
+    part = np.argsort(bins > cut, kind="stable")
+    return int(nl[cut]), part
+
+
 def build_triangle_bvh(tris: Triangles,
                        leaf_size: int = LEAF_SIZE) -> Tuple[Triangles, BVH]:
     """Builds the threaded BVH and returns (reordered triangles, bvh).
@@ -94,8 +145,7 @@ def build_triangle_bvh(tris: Triangles,
             cen = centroid[idx]
             ext = cen.max(0) - cen.min(0)
             axis = int(np.argmax(ext))
-            mid = (hi - lo) // 2
-            part = np.argpartition(cen[:, axis], mid)
+            mid, part = _sah_split(cen[:, axis], bb_min[idx], bb_max[idx])
             order[lo:hi] = idx[part]
             # Push right first so left is emitted next (preorder).
             stack.append((lo + mid, hi))

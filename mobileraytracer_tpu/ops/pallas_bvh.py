@@ -69,12 +69,13 @@ class PallasGrid:
     """Two-level block table packed for the Pallas traversal kernel."""
     super_lo: jnp.ndarray     # (3, K1)
     super_hi: jnp.ndarray     # (3, K1)
-    block_lo: jnp.ndarray     # (3, K1, BPS)
-    block_hi: jnp.ndarray     # (3, K1, BPS)
-    block_first: jnp.ndarray  # (K1, BPS) i32, first slot of the block
-    block_count: jnp.ndarray  # (K1, BPS) i32, 0 on padding
+    # Per-block metadata packed one row per super so candidate selection
+    # issues a single large-row gather (XLA's TPU gather is pathologically
+    # slow for small slices): [lox loy loz hix hiy hiz first count] x BPS.
+    blocks_packed: jnp.ndarray  # (K1, BPS * 8) f32
     # Packed triangle blocks: rows 0-2 point_a xyz, 3-5 ab, 6-8 ac,
-    # 9 validity (1.0/0.0), 10-15 zero padding to a full 16-sublane tile.
+    # 9 validity (1.0/0.0); rows 10-15 carry the block's own AABB
+    # (lox loy loz hix hiy hiz) in lane 0 for the kernel's exact entry test.
     tb: jnp.ndarray           # (NB, 16, LANES) f32, NB = K1 * BPS
     top_s: int = struct.field(pytree_node=False, default=DEFAULT_TOP_S)
     top_m: int = struct.field(pytree_node=False, default=DEFAULT_TOP_M)
@@ -82,6 +83,10 @@ class PallasGrid:
     @property
     def num_supers(self) -> int:
         return self.super_lo.shape[1]
+
+    @property
+    def bps(self) -> int:
+        return self.blocks_packed.shape[1] // 8
 
 
 def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
@@ -118,6 +123,8 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
     tb = np.zeros((padded, 16, LANES), np.float32)
     bf = bfirst_p.reshape(-1)
     bc = bcount_p.reshape(-1)
+    bmin_f = bmin_p.reshape(-1, 3)
+    bmax_f = bmax_p.reshape(-1, 3)
     for bi in range(padded):
         cnt = int(bc[bi])
         if cnt == 0:
@@ -127,14 +134,19 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         tb[bi, 3:6, :cnt] = ab[f0:f0 + cnt].T
         tb[bi, 6:9, :cnt] = ac[f0:f0 + cnt].T
         tb[bi, 9, :cnt] = va[f0:f0 + cnt]
+        tb[bi, 10:13, 0] = bmin_f[bi]
+        tb[bi, 13:16, 0] = bmax_f[bi]
+
+    packed = np.zeros((k1, bps, 8), np.float32)
+    packed[:, :, 0:3] = bmin_p
+    packed[:, :, 3:6] = bmax_p
+    packed[:, :, 6] = bfirst_p.astype(np.float32)
+    packed[:, :, 7] = bcount_p.astype(np.float32)
 
     grid = PallasGrid(
         super_lo=jnp.asarray(bmin_p.min(1).T.copy()),
         super_hi=jnp.asarray(bmax_p.max(1).T.copy()),
-        block_lo=jnp.asarray(np.moveaxis(bmin_p, 2, 0).copy()),
-        block_hi=jnp.asarray(np.moveaxis(bmax_p, 2, 0).copy()),
-        block_first=jnp.asarray(bfirst_p),
-        block_count=jnp.asarray(bcount_p),
+        blocks_packed=jnp.asarray(packed.reshape(k1, bps * 8)),
         tb=jnp.asarray(tb),
         top_s=min(top_s, k1),
         top_m=min(top_m, k1 * bps),
@@ -147,9 +159,57 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
 # blocks in entry order — same phases A/B as ops/block_bvh.py.
 # ---------------------------------------------------------------------------
 
+def _interval_entry_lb(o, inv_d, lo, hi, nt):
+    """Conservative per-subtile lower bound of min-over-rays slab entry,
+    with a *sound* certain-miss filter.
+
+    Interval arithmetic over the subtile's ray bundle: with per-axis
+    o in [o0, o1] and 1/d in [i0, i1] across the ST rays, each slab time
+    (bound - o) * ix lies between the min and max of the four corner
+    products.  Then
+
+      LB(entry)  = max_axis( LB_axis(min(t0, t1)) )  <=  every ray's tnear
+      UB(exit)   = min_axis( UB_axis(max(t0, t1)) )  >=  every ray's tfar
+
+    so UB(exit) < max(LB(entry), 0) proves *every* ray misses the box and
+    the candidate is dropped outright.  Because LB <= the true entry of
+    every ray, ordering + early-exit on LB keep the walk exact; looseness
+    only costs extra visits.  lo/hi: (3, nt, NC)."""
+    lb = None
+    ub_far = None
+    for a in range(3):
+        oa = o[:, a].reshape(nt, ST)
+        ia = inv_d[:, a].reshape(nt, ST)
+        o0 = jnp.min(oa, 1)[:, None]
+        o1 = jnp.max(oa, 1)[:, None]
+        i0 = jnp.min(ia, 1)[:, None]
+        i1 = jnp.max(ia, 1)[:, None]
+
+        def corners(bound):
+            a0 = bound - o1
+            a1 = bound - o0
+            p00, p01 = a0 * i0, a0 * i1
+            p10, p11 = a1 * i0, a1 * i1
+            return (jnp.minimum(jnp.minimum(p00, p01),
+                                jnp.minimum(p10, p11)),
+                    jnp.maximum(jnp.maximum(p00, p01),
+                                jnp.maximum(p10, p11)))
+
+        lo_min, lo_max = corners(lo[a])
+        hi_min, hi_max = corners(hi[a])
+        near = jnp.minimum(lo_min, hi_min)
+        far = jnp.maximum(lo_max, hi_max)
+        lb = near if lb is None else jnp.maximum(lb, near)
+        ub_far = far if ub_far is None else jnp.minimum(ub_far, far)
+    lb = jnp.maximum(lb, 0.0)
+    certain_miss = (ub_far < lb) | (ub_far < 0.0)
+    return jnp.where(certain_miss, jnp.inf, lb)
+
+
 def _candidates(grid: PallasGrid, o, d):
     """Returns (cand_gid, cand_first, cand_entry), each (n_subtiles, top_m);
-    entries ascend along the last axis (inf on non-candidates)."""
+    entries are conservative lower bounds ascending along the last axis
+    (RAY_LENGTH_MAX on non-candidates)."""
     b = o.shape[0]
     nt = b // ST
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
@@ -157,6 +217,7 @@ def _candidates(grid: PallasGrid, o, d):
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
     ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
 
+    # Phase A: exact per-ray super entries, reduced per subtile.
     e_super = _entry_cw(
         ox[:, None], oy[:, None], oz[:, None],
         ix[:, None], iy[:, None], iz[:, None],
@@ -166,28 +227,27 @@ def _candidates(grid: PallasGrid, o, d):
     neg_s, sup_ids = jax.lax.top_k(-e_super_t, s)
     sup_ok = jnp.isfinite(-neg_s)
 
-    cb_lo = grid.block_lo[:, sup_ids]     # (3, nt, s, BPS)
-    cb_hi = grid.block_hi[:, sup_ids]
-    cb_first = grid.block_first[sup_ids]  # (nt, s, BPS)
-    cb_count = grid.block_count[sup_ids]
-    bps = cb_first.shape[2]
+    # Phase B: one large-row gather of the selected supers' packed block
+    # metadata, conservative tile-interval bounds, one top-k.  The kernel
+    # re-tests each visited block's AABB exactly, so no per-ray refine pass
+    # is needed here.
+    bps = grid.bps
     nc = s * bps
+    gb = grid.blocks_packed[sup_ids]                  # (nt, s, BPS*8)
+    gb = gb.reshape(nt, nc, 8)
+    cb_lo = jnp.moveaxis(gb[:, :, 0:3], 2, 0)         # (3, nt, nc)
+    cb_hi = jnp.moveaxis(gb[:, :, 3:6], 2, 0)
+    cb_first = gb[:, :, 6].astype(jnp.int32)
+    cb_count = gb[:, :, 7]
 
-    def tile_ray(c):
-        return c.reshape(nt, ST, 1)
-
-    e_blk = _entry_cw(
-        tile_ray(ox), tile_ray(oy), tile_ray(oz),
-        tile_ray(ix), tile_ray(iy), tile_ray(iz),
-        cb_lo.reshape(3, nt, 1, nc), cb_hi.reshape(3, nt, 1, nc))  # (nt,ST,nc)
-    cand_ok = (cb_count.reshape(nt, nc) > 0) & jnp.repeat(sup_ok, bps, 1)
-    e_blk = jnp.where(cand_ok[:, None, :], e_blk, jnp.inf)
-    e_blk_t = jnp.min(e_blk, axis=1)                               # (nt, nc)
+    lb = _interval_entry_lb(o, inv_d, cb_lo, cb_hi, nt)            # (nt, nc)
+    cand_ok = (cb_count > 0) & jnp.repeat(sup_ok, bps, 1)
+    lb = jnp.where(cand_ok, lb, jnp.inf)
 
     m = min(grid.top_m, nc)
-    neg_b, cand = jax.lax.top_k(-e_blk_t, m)                       # (nt, m)
-    cand_entry = -neg_b
-    cand_first = jnp.take_along_axis(cb_first.reshape(nt, nc), cand, 1)
+    neg_lb, cand = jax.lax.top_k(-lb, m)                           # (nt, m)
+    cand_entry = -neg_lb
+    cand_first = jnp.take_along_axis(cb_first, cand, 1)
     gids = (sup_ids[:, :, None] * bps
             + jnp.arange(bps, dtype=jnp.int32)[None, None, :])
     cand_gid = jnp.take_along_axis(gids.reshape(nt, nc), cand, 1)
@@ -240,20 +300,50 @@ def _mt_block(rays, tr, first_f):
     return jnp.where(ok, t, _BIG), jnp.broadcast_to(slot, t.shape)
 
 
+_PIPE = 4  # outstanding block DMAs; hides HBM latency behind short compute
+
+
 def _make_kernel(m: int, any_hit: bool):
+    # depth DMAs stay in flight; depth+1 buffer slots so the prefetch for
+    # block i+depth never lands in the slot block i is computing from.
+    depth = min(_PIPE, m)
+    nslots = depth + 1
+
     def kernel(gid_ref, first_ref, entry_ref, rays_ref, tb_ref,
                t_out, id_out, scratch, sem):
         for g in range(GROUP):
             rays = rays_ref[g * ST:(g + 1) * ST, :]          # (ST, 8)
             t_init = rays[:, 6:7]                            # (ST, 1)
+            # Safe reciprocal directions for the per-block exact slab test.
+            dcomp = [rays[:, 3 + a:4 + a] for a in range(3)]
+            icomp = [1.0 / jnp.where(jnp.abs(dc) < 1e-30,
+                                     jnp.where(dc < 0, -1e-30, 1e-30), dc)
+                     for dc in dcomp]
+            ocomp = [rays[:, a:a + 1] for a in range(3)]
+
+            def block_entry(tr):
+                """Exact per-ray slab entry vs the block AABB stored in
+                lane 0 of rows 10-15 of the packed block; (ST, 1)."""
+                tnear, tfar = None, None
+                for a in range(3):
+                    t0 = (tr[10 + a:11 + a, 0:1] - ocomp[a]) * icomp[a]
+                    t1 = (tr[13 + a:14 + a, 0:1] - ocomp[a]) * icomp[a]
+                    near = jnp.minimum(t0, t1)
+                    far = jnp.maximum(t0, t1)
+                    tnear = near if tnear is None else jnp.maximum(tnear, near)
+                    tfar = far if tfar is None else jnp.minimum(tfar, far)
+                ok = (tnear <= tfar) & (tfar >= 0.0)
+                return jnp.where(ok, jnp.maximum(tnear, 0.0), _BIG)
 
             def start(i):
                 gid = gid_ref[0, 0, g * m + i]
-                sl = jax.lax.rem(i, 2)
+                sl = jax.lax.rem(i, nslots)
                 pltpu.make_async_copy(
                     tb_ref.at[gid], scratch.at[sl], sem.at[sl]).start()
 
-            start(jnp.int32(0))
+            # Fill the pipeline: `depth` DMAs in flight.
+            for j in range(depth):
+                start(jnp.int32(j))
 
             def cond(carry):
                 i, t_best, _ = carry
@@ -264,38 +354,50 @@ def _make_kernel(m: int, any_hit: bool):
 
             def body(carry):
                 i, t_best, slot_best = carry
-                sl = jax.lax.rem(i, 2)
+                sl = jax.lax.rem(i, nslots)
                 pltpu.make_async_copy(
                     tb_ref.at[gid_ref[0, 0, g * m + i]], scratch.at[sl],
                     sem.at[sl]).wait()
-                # Prefetch the next candidate while this one computes.
-                @pl.when(i + 1 < m)
+                # Keep the pipeline full while this block computes.
+                @pl.when(i + depth < m)
                 def _():
-                    start(i + 1)
+                    start(i + depth)
+                tr = scratch[sl]
+                # The candidate order is a conservative lower bound; the
+                # exact slab test here skips blocks no ray can improve on
+                # (reference near-child rejection, BVH.hpp:340-382).
+                e_exact = block_entry(tr)                    # (ST, 1)
+                useful = jnp.any(e_exact < t_best)
                 first_f = first_ref[0, 0, g * m + i].astype(jnp.float32)
-                t, slot = _mt_block(rays, scratch[sl],
-                                    first_f.reshape(1, 1))
-                t = jnp.where(t < t_best, t, _BIG)
-                tmin = jnp.min(t, axis=1, keepdims=True)     # (ST, 1)
-                smin = jnp.min(jnp.where(t <= tmin, slot, _BIG),
-                               axis=1, keepdims=True)
-                closer = tmin < t_best
-                return (i + 1,
-                        jnp.where(closer, tmin, t_best),
-                        jnp.where(closer, smin, slot_best))
+
+                def visit(args):
+                    t_best, slot_best = args
+                    t, slot = _mt_block(rays, tr, first_f.reshape(1, 1))
+                    t = jnp.where(t < t_best, t, _BIG)
+                    tmin = jnp.min(t, axis=1, keepdims=True)  # (ST, 1)
+                    smin = jnp.min(jnp.where(t <= tmin, slot, _BIG),
+                                   axis=1, keepdims=True)
+                    closer = tmin < t_best
+                    return (jnp.where(closer, tmin, t_best),
+                            jnp.where(closer, smin, slot_best))
+
+                t_best, slot_best = jax.lax.cond(
+                    useful, visit, lambda args: args, (t_best, slot_best))
+                return (i + 1, t_best, slot_best)
 
             init = (jnp.int32(0), t_init,
                     jnp.full((ST, 1), -1.0, jnp.float32))
             i_fin, t_best, slot_best = jax.lax.while_loop(cond, body, init)
 
-            # Drain the in-flight DMA if the walk stopped early (block
-            # i_fin was started either by warm-up or by body(i_fin - 1)).
-            @pl.when(i_fin < m)
-            def _():
-                sl = jax.lax.rem(i_fin, 2)
-                pltpu.make_async_copy(
-                    tb_ref.at[gid_ref[0, 0, g * m + i_fin]], scratch.at[sl],
-                    sem.at[sl]).wait()
+            # Drain in-flight DMAs if the walk stopped early: blocks
+            # i_fin .. min(m, i_fin+depth)-1 were started but not waited.
+            for j in range(depth):
+                @pl.when(i_fin + j < jnp.minimum(m, i_fin + depth))
+                def _(j=j):
+                    sl = jax.lax.rem(i_fin + j, nslots)
+                    pltpu.make_async_copy(
+                        tb_ref.at[gid_ref[0, 0, g * m + i_fin + j]],
+                        scratch.at[sl], sem.at[sl]).wait()
 
             t_out[g * ST:(g + 1) * ST, :] = t_best
             id_out[g * ST:(g + 1) * ST, :] = slot_best
@@ -338,8 +440,8 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
             jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((min(_PIPE, m) + 1, 16, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1,)),
         ],
         interpret=interpret,
     )(cand_gid.reshape(n_groups, 1, GROUP * m),

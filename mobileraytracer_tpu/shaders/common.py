@@ -90,7 +90,7 @@ def bind_material(scene: Scene, hit: Hit):
 
 def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
                     samples_light: int, shadows: bool,
-                    occluded_fn=None) -> jnp.ndarray:
+                    occluded_fn=None, mask=None) -> jnp.ndarray:
     """Next-event estimation for diffuse hits.
 
     Per sample: pick a uniform light (Shader.cpp:223-233), take its position
@@ -108,6 +108,12 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
     has_lights = scene.lights.num > 0
     if occluded_fn is None:
         occluded_fn = intersect.occluded_naive
+    # Shadow rays of lanes outside `mask` start from a far sentinel: every
+    # candidate test misses, so accelerator subtiles whose lanes are all
+    # masked exit their walk immediately (finite so AD stays NaN-free).
+    origin = hit.point
+    if mask is not None:
+        origin = jnp.where(mask[:, None], hit.point, C.FAR_SENTINEL)
 
     for s in range(samples_light):
         k_pick = jax.vmap(jax.random.fold_in, (0, None))(keys, 2 * s)
@@ -121,7 +127,7 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
                          scene.lights.position[lidx])
         radiance = scene.lights.radiance[lidx]
 
-        to_light = lpos - hit.point
+        to_light = lpos - origin
         dist = jnp.linalg.norm(to_light, axis=-1)
         ldir = to_light / jnp.maximum(dist[:, None], 1e-30)
         cos_nl = jnp.sum(hit.normal * ldir, -1)
@@ -129,7 +135,7 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
         if shadows:
             shadow_rays = shadow_rays + (visible & has_lights).astype(jnp.int32)
             blocked = occluded_fn(
-                scene, hit.point, ldir, dist, hit.prim_kind, hit.prim_id)
+                scene, origin, ldir, dist, hit.prim_kind, hit.prim_id)
             visible = visible & ~blocked
         contrib = radiance * cos_nl[:, None]
         total = total + jnp.where((visible & has_lights)[:, None], contrib, 0.0)

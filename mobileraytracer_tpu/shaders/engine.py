@@ -171,7 +171,14 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
 
     def step(state: WalkState, it):
         state, e, active = _pop(state)
-        hit = tracer.closest(scene, e["org"], e["dirn"], e["pkind"], e["pid"])
+        # Park drained lanes at a far sentinel so accelerator subtiles whose
+        # 16 lanes are all dead find zero candidates and exit immediately —
+        # the wavefront analogue of the reference's threads going idle once
+        # their tiles are done (Renderer.cpp:117-167).
+        org = jnp.where(active[:, None], e["org"], C.FAR_SENTINEL)
+        dirn = jnp.where(active[:, None], e["dirn"],
+                         jnp.array([1.0, 0.0, 0.0], jnp.float32))
+        hit = tracer.closest(scene, org, dirn, e["pkind"], e["pid"])
         le, kd, ks, kt, ior = common.bind_material(scene, hit)
 
         hit_ok = active & ~hit.missed
@@ -199,7 +206,8 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
             nee_keys = sampling.event_key(keys, it, 1)
             ld_sum, n_shadow = common.direct_lighting(
                 scene, hit, nee_keys, config.samples_light,
-                shadows=(shader != C.SHADER_NOSHADOWS), occluded_fn=tracer.occluded)
+                shadows=(shader != C.SHADER_NOSHADOWS),
+                occluded_fn=tracer.occluded, mask=diffuse)
             ld = kd * ld_sum / jnp.float32(config.samples_light)
             has_l = scene.lights.num > 0
             ld = jnp.where((diffuse & has_l)[:, None], ld, 0.0)
