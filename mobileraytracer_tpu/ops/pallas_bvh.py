@@ -71,12 +71,18 @@ class PallasGrid:
     super_hi: jnp.ndarray     # (3, K1)
     # Per-block metadata packed one row per super so candidate selection
     # issues a single large-row gather (XLA's TPU gather is pathologically
-    # slow for small slices): [lox loy loz hix hiy hiz first count] x BPS.
-    blocks_packed: jnp.ndarray  # (K1, BPS * 8) f32
+    # slow for small slices).  Component-grouped — [lox x BPS][loy x BPS]
+    # ... [first x BPS][count x BPS] — so the gathered rows slice into
+    # clean (nt, s*BPS) lane-major arrays with zero relayouts (interleaved
+    # per-block fields forced transposes costing ~60 ms/traversal on TPU).
+    blocks_packed: jnp.ndarray  # (K1, 8 * BPS) f32
     # Packed triangle blocks: rows 0-2 point_a xyz, 3-5 ab, 6-8 ac,
     # 9 validity (1.0/0.0); rows 10-15 carry the block's own AABB
     # (lox loy loz hix hiy hiz) in lane 0 for the kernel's exact entry test.
     tb: jnp.ndarray           # (NB, 16, LANES) f32, NB = K1 * BPS
+    # Packed per-triangle shading attributes for the hit fill (layout in
+    # intersect._fill_hit's docstring); aligned to the reordered triangles.
+    tri_attr: jnp.ndarray     # (N, 32) f32
     top_s: int = struct.field(pytree_node=False, default=DEFAULT_TOP_S)
     top_m: int = struct.field(pytree_node=False, default=DEFAULT_TOP_M)
 
@@ -87,6 +93,13 @@ class PallasGrid:
     @property
     def bps(self) -> int:
         return self.blocks_packed.shape[1] // 8
+
+    def packed_field(self, gathered: jnp.ndarray, f: int) -> jnp.ndarray:
+        """Slices component f out of gathered (nt, s, 8*BPS) rows and
+        flattens to (nt, s*BPS)."""
+        nt, s, _ = gathered.shape
+        bps = self.bps
+        return gathered[:, :, f * bps:(f + 1) * bps].reshape(nt, s * bps)
 
 
 def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
@@ -137,17 +150,31 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         tb[bi, 10:13, 0] = bmin_f[bi]
         tb[bi, 13:16, 0] = bmax_f[bi]
 
-    packed = np.zeros((k1, bps, 8), np.float32)
-    packed[:, :, 0:3] = bmin_p
-    packed[:, :, 3:6] = bmax_p
-    packed[:, :, 6] = bfirst_p.astype(np.float32)
-    packed[:, :, 7] = bcount_p.astype(np.float32)
+    packed = np.zeros((k1, 8, bps), np.float32)
+    packed[:, 0:3] = np.moveaxis(bmin_p, 2, 1)
+    packed[:, 3:6] = np.moveaxis(bmax_p, 2, 1)
+    packed[:, 6] = bfirst_p.astype(np.float32)
+    packed[:, 7] = bcount_p.astype(np.float32)
+
+    n = pa.shape[0]
+    attr = np.zeros((n, 32), np.float32)
+    attr[:, 0:3] = pa
+    attr[:, 3:6] = ab
+    attr[:, 6:9] = ac
+    attr[:, 9:12] = np.asarray(tris2.normal_a)
+    attr[:, 12:15] = np.asarray(tris2.normal_b)
+    attr[:, 15:18] = np.asarray(tris2.normal_c)
+    attr[:, 18:20] = np.asarray(tris2.uv_a)
+    attr[:, 20:22] = np.asarray(tris2.uv_b)
+    attr[:, 22:24] = np.asarray(tris2.uv_c)
+    attr[:, 24] = np.asarray(tris2.mat_id).astype(np.float32)
 
     grid = PallasGrid(
         super_lo=jnp.asarray(bmin_p.min(1).T.copy()),
         super_hi=jnp.asarray(bmax_p.max(1).T.copy()),
-        blocks_packed=jnp.asarray(packed.reshape(k1, bps * 8)),
+        blocks_packed=jnp.asarray(packed.reshape(k1, 8 * bps)),
         tb=jnp.asarray(tb),
+        tri_attr=jnp.asarray(attr),
         top_s=min(top_s, k1),
         top_m=min(top_m, k1 * bps),
     )
@@ -159,7 +186,20 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
 # blocks in entry order — same phases A/B as ops/block_bvh.py.
 # ---------------------------------------------------------------------------
 
-def _interval_entry_lb(o, inv_d, lo, hi, nt):
+def _subtile_intervals(o, inv_d, nt):
+    """Per-axis per-subtile [min, max] of origin and reciprocal direction,
+    each a (nt, 1) array; the ray-bundle intervals driving the conservative
+    slab bounds."""
+    out = []
+    for a in range(3):
+        oa = o[:, a].reshape(nt, ST)
+        ia = inv_d[:, a].reshape(nt, ST)
+        out.append((jnp.min(oa, 1)[:, None], jnp.max(oa, 1)[:, None],
+                    jnp.min(ia, 1)[:, None], jnp.max(ia, 1)[:, None]))
+    return out
+
+
+def _interval_entry_lb(ivals, lo_hi):
     """Conservative per-subtile lower bound of min-over-rays slab entry,
     with a *sound* certain-miss filter.
 
@@ -174,16 +214,16 @@ def _interval_entry_lb(o, inv_d, lo, hi, nt):
     so UB(exit) < max(LB(entry), 0) proves *every* ray misses the box and
     the candidate is dropped outright.  Because LB <= the true entry of
     every ray, ordering + early-exit on LB keep the walk exact; looseness
-    only costs extra visits.  lo/hi: (3, nt, NC)."""
+    only costs extra visits.
+
+    ivals: per-axis (o0, o1, i0, i1) each (nt, 1); lo_hi: per-axis
+    (lo, hi) each (nt, NC).  Everything stays in (nt, NC) lane-major
+    layout — no trailing-3 dims, no transposes."""
     lb = None
     ub_far = None
     for a in range(3):
-        oa = o[:, a].reshape(nt, ST)
-        ia = inv_d[:, a].reshape(nt, ST)
-        o0 = jnp.min(oa, 1)[:, None]
-        o1 = jnp.max(oa, 1)[:, None]
-        i0 = jnp.min(ia, 1)[:, None]
-        i1 = jnp.max(ia, 1)[:, None]
+        o0, o1, i0, i1 = ivals[a]
+        lo, hi = lo_hi[a]
 
         def corners(bound):
             a0 = bound - o1
@@ -195,8 +235,8 @@ def _interval_entry_lb(o, inv_d, lo, hi, nt):
                     jnp.maximum(jnp.maximum(p00, p01),
                                 jnp.maximum(p10, p11)))
 
-        lo_min, lo_max = corners(lo[a])
-        hi_min, hi_max = corners(hi[a])
+        lo_min, lo_max = corners(lo)
+        hi_min, hi_max = corners(hi)
         near = jnp.minimum(lo_min, hi_min)
         far = jnp.maximum(lo_max, hi_max)
         lb = near if lb is None else jnp.maximum(lb, near)
@@ -214,33 +254,30 @@ def _candidates(grid: PallasGrid, o, d):
     nt = b // ST
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
                             jnp.where(d < 0, -1e-30, 1e-30), d)
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+    ivals = _subtile_intervals(o, inv_d, nt)
 
-    # Phase A: exact per-ray super entries, reduced per subtile.
-    e_super = _entry_cw(
-        ox[:, None], oy[:, None], oz[:, None],
-        ix[:, None], iy[:, None], iz[:, None],
-        grid.super_lo[:, None, :], grid.super_hi[:, None, :])      # (B, K1)
-    e_super_t = jnp.min(e_super.reshape(nt, ST, -1), axis=1)       # (nt, K1)
+    # Phase A: conservative per-subtile super entries via the same interval
+    # bounds (16x less work than per-ray slab + reduce).
+    sup_lo_hi = [(grid.super_lo[a][None, :], grid.super_hi[a][None, :])
+                 for a in range(3)]
+    e_super_t = _interval_entry_lb(ivals, sup_lo_hi)               # (nt, K1)
     s = grid.top_s
     neg_s, sup_ids = jax.lax.top_k(-e_super_t, s)
     sup_ok = jnp.isfinite(-neg_s)
 
     # Phase B: one large-row gather of the selected supers' packed block
-    # metadata, conservative tile-interval bounds, one top-k.  The kernel
-    # re-tests each visited block's AABB exactly, so no per-ray refine pass
-    # is needed here.
+    # metadata (component-grouped — slices stay lane-major), conservative
+    # tile-interval bounds, one top-k.  The kernel re-tests each visited
+    # block's AABB exactly, so no per-ray refine pass is needed here.
     bps = grid.bps
     nc = s * bps
-    gb = grid.blocks_packed[sup_ids]                  # (nt, s, BPS*8)
-    gb = gb.reshape(nt, nc, 8)
-    cb_lo = jnp.moveaxis(gb[:, :, 0:3], 2, 0)         # (3, nt, nc)
-    cb_hi = jnp.moveaxis(gb[:, :, 3:6], 2, 0)
-    cb_first = gb[:, :, 6].astype(jnp.int32)
-    cb_count = gb[:, :, 7]
+    gb = grid.blocks_packed[sup_ids]                  # (nt, s, 8*BPS)
+    f = lambda i: grid.packed_field(gb, i)            # (nt, nc) each
+    lo_hi = [(f(0), f(3)), (f(1), f(4)), (f(2), f(5))]
+    cb_first = f(6).astype(jnp.int32)
+    cb_count = f(7)
 
-    lb = _interval_entry_lb(o, inv_d, cb_lo, cb_hi, nt)            # (nt, nc)
+    lb = _interval_entry_lb(ivals, lo_hi)                          # (nt, nc)
     cand_ok = (cb_count > 0) & jnp.repeat(sup_ok, bps, 1)
     lb = jnp.where(cand_ok, lb, jnp.inf)
 
@@ -443,6 +480,10 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
             pltpu.VMEM((min(_PIPE, m) + 1, 16, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1,)),
         ],
+        # Ray groups are independent: let Mosaic split the grid across both
+        # megacore TensorCores.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(cand_gid.reshape(n_groups, 1, GROUP * m),
       cand_first.reshape(n_groups, 1, GROUP * m),
@@ -503,7 +544,7 @@ def intersect_scene_pallas(scene: Scene, o, d, prev_kind, prev_id,
     t_tr = jnp.where(id_tr >= 0, t_tr, _BIG)
     t_li, id_li = nv.closest_lights(scene.lights, o, d, tm, prev_kind, prev_id)
     return nv._fill_hit(scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
-                        t_li, id_li)
+                        t_li, id_li, tri_attr=grid.tri_attr)
 
 
 def occluded_pallas(scene: Scene, o, d, max_dist, prev_kind, prev_id):
