@@ -81,3 +81,8 @@ SCENE_OBJ = 4
 # parked exit their walk immediately), yet all intermediate products stay
 # finite in float32, keeping reverse-mode AD NaN-free.
 FAR_SENTINEL = 1.0e7
+
+# Rays per traversal subtile: the granularity at which the block-BVH
+# traversals (ops/block_bvh.py, ops/pallas_bvh.py) share candidate lists,
+# and therefore the coherence unit the shading engine packs rays for.
+SUBTILE = 16

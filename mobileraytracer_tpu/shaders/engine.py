@@ -171,13 +171,12 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
 
     def step(state: WalkState, it):
         state, e, active = _pop(state)
-        # Park drained lanes at a far sentinel so accelerator subtiles whose
-        # 16 lanes are all dead find zero candidates and exit immediately —
-        # the wavefront analogue of the reference's threads going idle once
+        # Drained lanes re-trace a duplicate of a live lane in their subtile
+        # (result discarded; keeps traversal bounds tight) and fully-dead
+        # subtiles park at the far sentinel and exit immediately — the
+        # wavefront analogue of the reference's threads going idle once
         # their tiles are done (Renderer.cpp:117-167).
-        org = jnp.where(active[:, None], e["org"], C.FAR_SENTINEL)
-        dirn = jnp.where(active[:, None], e["dirn"],
-                         jnp.array([1.0, 0.0, 0.0], jnp.float32))
+        org, dirn = common.park_dead_lanes(e["org"], e["dirn"], active)
         hit = tracer.closest(scene, org, dirn, e["pkind"], e["pid"])
         le, kd, ks, kt, ior = common.bind_material(scene, hit)
 
