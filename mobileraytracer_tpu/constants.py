@@ -85,4 +85,7 @@ FAR_SENTINEL = 1.0e7
 # Rays per traversal subtile: the granularity at which the block-BVH
 # traversals (ops/block_bvh.py, ops/pallas_bvh.py) share candidate lists,
 # and therefore the coherence unit the shading engine packs rays for.
-SUBTILE = 16
+# Env-tunable (MRT_SUBTILE) for perf sweeps; must divide 128.
+import os as _os
+
+SUBTILE = int(_os.environ.get("MRT_SUBTILE", "16"))

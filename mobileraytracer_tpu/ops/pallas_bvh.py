@@ -49,9 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = C.RAY_LENGTH_MAX
 
-LANES = 128            # triangles per block == lane width
-ST = 16                # rays per subtile (candidate-selection granularity)
-GROUP = 8              # subtiles per Pallas program
+LANES = 128            # default triangles per block (= lane-tile multiple)
+ST = C.SUBTILE         # rays per subtile (candidate-selection granularity)
+GROUP = max(1, 128 // ST)   # subtiles per Pallas program (128 rays each)
 DEFAULT_BPS = 16       # blocks per super
 DEFAULT_TOP_S = 32     # candidate supers per subtile
 DEFAULT_TOP_M = 48     # candidate blocks per subtile
@@ -104,9 +104,13 @@ class PallasGrid:
 
 def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
                  top_s: int = DEFAULT_TOP_S,
-                 top_m: int = DEFAULT_TOP_M) -> Tuple[Triangles, PallasGrid]:
-    """Median-split build cut at LANES-triangle leaves, packed for Pallas."""
-    tris2, bvh = build_triangle_bvh(tris, leaf_size=LANES)
+                 top_m: int = DEFAULT_TOP_M,
+                 lanes: int = LANES) -> Tuple[Triangles, PallasGrid]:
+    """SAH build cut at `lanes`-triangle leaves, packed for Pallas.  Wider
+    blocks amortize per-visit DMA/loop overhead for long (shadow) rays that
+    cross many leaves; 128/256 are the sensible choices."""
+    assert lanes % 128 == 0, "block width must be a lane-tile multiple"
+    tris2, bvh = build_triangle_bvh(tris, leaf_size=lanes)
     counts = np.asarray(bvh.node_count)
     leaf = counts > 0
     bmin = np.asarray(bvh.node_min)[leaf]
@@ -133,7 +137,7 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
     ab = np.asarray(tris2.ab)
     ac = np.asarray(tris2.ac)
     va = np.asarray(tris2.valid).astype(np.float32)
-    tb = np.zeros((padded, 16, LANES), np.float32)
+    tb = np.zeros((padded, 16, lanes), np.float32)
     bf = bfirst_p.reshape(-1)
     bc = bcount_p.reshape(-1)
     bmin_f = bmin_p.reshape(-1, 3)
@@ -328,7 +332,7 @@ def _mt_block(rays, tr, first_f):
     v = inv * (dx * qx + dy * qy + dz * qz)
     t = inv * (acx * qx + acy * qy + acz * qz)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tr.shape[1]), 1).astype(
         jnp.float32)
     slot = first_f + lane                                    # (1, LANES)
     ok = ((jnp.abs(det) >= C.EPSILON) & (u >= 0.0) & (u <= 1.0)
@@ -347,7 +351,7 @@ def _make_kernel(m: int, any_hit: bool):
     nslots = depth + 1
 
     def kernel(gid_ref, first_ref, entry_ref, rays_ref, tb_ref,
-               t_out, id_out, scratch, sem):
+               t_out, id_out, steps_out, scratch, sem):
         for g in range(GROUP):
             rays = rays_ref[g * ST:(g + 1) * ST, :]          # (ST, 8)
             t_init = rays[:, 6:7]                            # (ST, 1)
@@ -383,14 +387,14 @@ def _make_kernel(m: int, any_hit: bool):
                 start(jnp.int32(j))
 
             def cond(carry):
-                i, t_best, _ = carry
-                go = (i < m) & (entry_ref[0, 0, g * m + i] < jnp.max(t_best))
-                if any_hit:
-                    go = go & ~jnp.all(t_best < t_init)
-                return go
+                # t_worst / done are scalars maintained on improvement only,
+                # so skipped iterations pay no vector reduce.
+                i, t_best, _, t_worst, done = carry
+                return ((i < m) & ~done
+                        & (entry_ref[0, 0, g * m + i] < t_worst))
 
             def body(carry):
-                i, t_best, slot_best = carry
+                i, t_best, slot_best, t_worst, done = carry
                 sl = jax.lax.rem(i, nslots)
                 pltpu.make_async_copy(
                     tb_ref.at[gid_ref[0, 0, g * m + i]], scratch.at[sl],
@@ -408,23 +412,30 @@ def _make_kernel(m: int, any_hit: bool):
                 first_f = first_ref[0, 0, g * m + i].astype(jnp.float32)
 
                 def visit(args):
-                    t_best, slot_best = args
+                    t_best, slot_best, t_worst, done = args
                     t, slot = _mt_block(rays, tr, first_f.reshape(1, 1))
                     t = jnp.where(t < t_best, t, _BIG)
                     tmin = jnp.min(t, axis=1, keepdims=True)  # (ST, 1)
                     smin = jnp.min(jnp.where(t <= tmin, slot, _BIG),
                                    axis=1, keepdims=True)
                     closer = tmin < t_best
-                    return (jnp.where(closer, tmin, t_best),
-                            jnp.where(closer, smin, slot_best))
+                    t_best = jnp.where(closer, tmin, t_best)
+                    slot_best = jnp.where(closer, smin, slot_best)
+                    t_worst = jnp.max(t_best)
+                    if any_hit:
+                        done = jnp.all(t_best < t_init)
+                    return (t_best, slot_best, t_worst, done)
 
-                t_best, slot_best = jax.lax.cond(
-                    useful, visit, lambda args: args, (t_best, slot_best))
-                return (i + 1, t_best, slot_best)
+                t_best, slot_best, t_worst, done = jax.lax.cond(
+                    useful, visit, lambda args: args,
+                    (t_best, slot_best, t_worst, done))
+                return (i + 1, t_best, slot_best, t_worst, done)
 
             init = (jnp.int32(0), t_init,
-                    jnp.full((ST, 1), -1.0, jnp.float32))
-            i_fin, t_best, slot_best = jax.lax.while_loop(cond, body, init)
+                    jnp.full((ST, 1), -1.0, jnp.float32),
+                    jnp.max(t_init), jnp.asarray(False))
+            i_fin, t_best, slot_best, _, _ = jax.lax.while_loop(
+                cond, body, init)
 
             # Drain in-flight DMAs if the walk stopped early: blocks
             # i_fin .. min(m, i_fin+depth)-1 were started but not waited.
@@ -438,6 +449,8 @@ def _make_kernel(m: int, any_hit: bool):
 
             t_out[g * ST:(g + 1) * ST, :] = t_best
             id_out[g * ST:(g + 1) * ST, :] = slot_best
+            steps_out[g * ST:(g + 1) * ST, :] = jnp.full(
+                (ST, 1), i_fin.astype(jnp.float32))
     return kernel
 
 
@@ -450,7 +463,7 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
     n_groups = bp // (GROUP * ST)
     grid = (n_groups,)
     kernel = _make_kernel(m, any_hit)
-    t, sid = pl.pallas_call(
+    t, sid, steps = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -471,13 +484,16 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP * ST, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP * ST, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((min(_PIPE, m) + 1, 16, LANES), jnp.float32),
+            pltpu.VMEM((min(_PIPE, m) + 1,) + tb.shape[1:], jnp.float32),
             pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1,)),
         ],
         # Ray groups are independent: let Mosaic split the grid across both
@@ -489,13 +505,13 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
       cand_first.reshape(n_groups, 1, GROUP * m),
       cand_entry.reshape(n_groups, 1, GROUP * m),
       rays, tb)
-    return t, sid
+    return t, sid, steps
 
 
 def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
-             prev_id, any_hit: bool = False):
+             prev_id, any_hit: bool = False, with_steps: bool = False):
     """Closest-hit (or any-hit) over the triangle set.  Returns
-    (t_best (B,), best_id (B,) int32 with -1 for miss)."""
+    (t_best (B,), best_id (B,) int32 with -1 for miss)[, steps (B,)]."""
     b = o.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
     unit = GROUP * ST
@@ -514,12 +530,16 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
         grid, rays[:, 0:3], rays[:, 3:6])
     m = cand_gid.shape[1]
 
-    t, sid = _traverse_padded(grid.tb, cand_gid, cand_first, cand_entry,
-                              rays, m, any_hit, _interpret())
+    t, sid, steps = _traverse_padded(grid.tb, cand_gid, cand_first,
+                                     cand_entry, rays, m, any_hit,
+                                     _interpret())
     t = t[:b, 0]
     sid = sid[:b, 0]
     hit = t < t0
-    return jnp.where(hit, t, _BIG), jnp.where(hit, sid.astype(jnp.int32), -1)
+    out = (jnp.where(hit, t, _BIG), jnp.where(hit, sid.astype(jnp.int32), -1))
+    if with_steps:
+        return out + (steps[:b, 0],)
+    return out
 
 
 # ---------------------------------------------------------------------------

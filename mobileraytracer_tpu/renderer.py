@@ -42,7 +42,7 @@ def _pixel_order(config: RenderConfig):
     corners, matching Renderer.cpp:108-136).
     """
     w, h = config.width, config.height
-    ph, pw = 4, 4
+    ph, pw = max(C.SUBTILE // 4, 1), 4
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     order = np.lexsort((xs.ravel() % pw, ys.ravel() % ph,
                         xs.ravel() // pw, ys.ravel() // ph))

@@ -45,3 +45,17 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+def lanes_experiment():
+    import dataclasses
+    from mobileraytracer_tpu import constants as C
+    from mobileraytracer_tpu.bench_scenes import conference_proxy
+    from mobileraytracer_tpu.types import RenderConfig
+    from mobileraytracer_tpu.ops import pallas_bvh
+
+    base = RenderConfig(width=512, height=512, spp=1,
+                        shader=C.SHADER_WHITTED, accelerator=C.ACC_BVH)
+    for lanes in (128, 256, 512):
+        scene, cam, info = conference_proxy()
+        scene = pallas_bvh.build(scene, lanes=lanes)
+        t_frame(f"Whitted lanes={lanes}", scene, cam, base)
