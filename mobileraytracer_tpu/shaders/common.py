@@ -126,7 +126,8 @@ def bind_material(scene: Scene, hit: Hit):
 
 def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
                     samples_light: int, shadows: bool,
-                    occluded_fn=None, mask=None) -> jnp.ndarray:
+                    occluded_fn=None, mask=None,
+                    share_mask=None) -> jnp.ndarray:
     """Next-event estimation for diffuse hits.
 
     Per sample: pick a uniform light (Shader.cpp:223-233), take its position
@@ -158,10 +159,19 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
         # 58-63).  Coherent picks keep a subtile's shadow bundle aimed at
         # one light, which the tile-interval traversal bounds depend on
         # (divergent bundles were 5x slower on TPU).
+        #
+        # `share_mask` limits sharing to lanes on their first bounce: later
+        # bounces run through the compacted wavefront (engine.py), where
+        # execution grouping depends on batch size — a per-lane pick keeps
+        # the image invariant to sharding and compaction layout.
         st = 16
         if b % st == 0:
             k_sub = k_pick.reshape(b // st, st, -1)[:, 0]
-            k_pick = jnp.repeat(k_sub, st, axis=0)
+            k_shared = jnp.repeat(k_sub, st, axis=0)
+            if share_mask is None:
+                k_pick = k_shared
+            else:
+                k_pick = jnp.where(share_mask[:, None], k_shared, k_pick)
         lidx = jax.vmap(sampling.pick_light, (0, None))(k_pick, scene.lights.num)
         kind = scene.lights.kind[lidx]
         p_area = jax.vmap(sampling.sample_triangle_point)(

@@ -99,6 +99,11 @@ class WalkState(NamedTuple):
     st_flags: jnp.ndarray   # (B, S) bit 0: diffuse-indirect edge w/ NEE hit
     rgb: jnp.ndarray        # (B, 3) accumulated radiance
     rays: jnp.ndarray      # (B,) number of rays popped (casted-ray metric)
+    pops: jnp.ndarray      # (B,) pops so far — the lane-local iteration
+    # counter.  Event keys fold in this counter (not a global iteration
+    # index) so the compacted walk below draws the exact same RNG stream a
+    # full-batch walk would: in a full-batch walk every lane pops every
+    # iteration, making pops == iteration index.
 
 
 FLAG_DIFFUSE_NEE = 1
@@ -139,7 +144,8 @@ def _pop(state: WalkState):
     )
     active = state.sp > 0
     return state._replace(sp=jnp.maximum(state.sp - 1, 0),
-                          rays=state.rays + active.astype(jnp.int32)), entry, active
+                          rays=state.rays + active.astype(jnp.int32),
+                          pops=state.pops + 1), entry, active
 
 
 # ---------------------------------------------------------------------------
@@ -167,9 +173,12 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         st_flags=jnp.zeros((b, s), jnp.int32),
         rgb=zeros3,
         rays=jnp.zeros((b,), jnp.int32),
+        pops=jnp.zeros((b,), jnp.int32),
     )
 
-    def step(state: WalkState, it):
+    def step(state: WalkState, keys):
+        it = state.pops                      # (lane-local) iteration index
+        bb = state.sp.shape[0]               # chunk size (== b uncompacted)
         state, e, active = _pop(state)
         # Drained lanes re-trace a duplicate of a live lane in their subtile
         # (result discarded; keeps traversal bounds tight) and fully-dead
@@ -206,7 +215,8 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
             ld_sum, n_shadow = common.direct_lighting(
                 scene, hit, nee_keys, config.samples_light,
                 shadows=(shader != C.SHADER_NOSHADOWS),
-                occluded_fn=tracer.occluded, mask=diffuse)
+                occluded_fn=tracer.occluded, mask=diffuse,
+                share_mask=(it == 0))
             ld = kd * ld_sum / jnp.float32(config.samples_light)
             has_l = scene.lights.num > 0
             ld = jnp.where((diffuse & has_l)[:, None], ld, 0.0)
@@ -219,7 +229,7 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
                 rgb = rgb + jnp.where(cont[:, None],
                                       e["weight"] * kd * C.WHITTED_AMBIENT, 0.0)
         else:
-            ld = zeros3
+            ld = jnp.zeros((bb, 3), jnp.float32)
 
         state = state._replace(rgb=rgb)
 
@@ -233,14 +243,14 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         spec = cont & common.has_positive(ks)
         rdir = common.reflect(e["dirn"], hit.normal)
         state = _push(state, spec, hit.point, rdir, e["weight"] * ks, depth1,
-                      hit.prim_kind, hit.prim_id, jnp.zeros((b,), jnp.int32))
+                      hit.prim_kind, hit.prim_id, jnp.zeros((bb,), jnp.int32))
 
         # Specular transmission child (Whitted.cpp:82-90, PathTracer.cpp:127-135).
         trans = cont & common.has_positive(kt)
         tdir, tvalid = common.refract(e["dirn"], hit.normal, 1.0 / ior)
         state = _push(state, trans & tvalid, hit.point, tdir,
                       e["weight"] * kt, depth1, hit.prim_kind, hit.prim_id,
-                      jnp.zeros((b,), jnp.int32))
+                      jnp.zeros((bb,), jnp.int32))
 
         if shader == C.SHADER_PATHTRACER:
             # Diffuse indirect child with Russian roulette
@@ -269,19 +279,59 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
     max_iters = 1 if shader == C.SHADER_NOSHADOWS \
         else config.resolved_max_walk_iters()
 
+    # Per-lane iteration budget: in a full-batch walk every lane pops once
+    # per iteration, so capping pops at max_iters is exactly the reference
+    # truncation contract regardless of the execution layout below.
+    def lane_live(st):
+        return (st.sp > 0) & (st.pops < max_iters)
+
+    unit = C.SUBTILE * max(1, 128 // C.SUBTILE)  # traversal padding unit
+
     if differentiable:
         # Fixed trip count => reverse-mode AD works through the walk.
-        state, _ = jax.lax.scan(step, state, jnp.arange(max_iters))
-    else:
-        # Forward-only fast path: stop as soon as every lane's stack is
-        # empty (typical scenes drain after 2-3 bounces).
+        state, _ = jax.lax.scan(lambda st, _: (step(st, keys)[0], None),
+                                state, jnp.arange(max_iters))
+    elif b < 8 * unit or shader == C.SHADER_NOSHADOWS:
+        # Small batches: plain full-batch loop, stop when drained.
         def cond(carry):
             it, st = carry
-            return (it < max_iters) & jnp.any(st.sp > 0)
+            return (it < max_iters) & jnp.any(lane_live(st))
 
         def body(carry):
             it, st = carry
-            st, _ = step(st, it)
+            st, _ = step(st, keys)
+            return it + 1, st
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
+    else:
+        # Wavefront compaction: iteration 1 runs the full batch (every lane
+        # is live), then live lanes are gathered into dense chunks of
+        # b/8 rays so late iterations cost O(live), not O(all) — the
+        # wavefront analogue of the reference's work-queue shrinking as
+        # tiles finish (Renderer.cpp:117-167).  Contributions are additive
+        # and event keys are lane-local (see WalkState.pops), so chunked
+        # execution is bitwise-identical to the full-batch walk.
+        state, _ = step(state, keys)
+        bc = max(unit, (b // 8 + unit - 1) // unit * unit)
+        lanes = jnp.arange(b, dtype=jnp.int32)
+        max_chunks = -(-b // bc) * max_iters
+
+        def cond(carry):
+            it, st = carry
+            return (it < max_chunks) & jnp.any(lane_live(st))
+
+        def body(carry):
+            it, st = carry
+            live = lane_live(st)
+            pos = jnp.cumsum(live) - 1
+            sel = live & (pos < bc)
+            # Unfilled slots default to lane 0; duplicates compute the
+            # identical update and the scatter writes it once.
+            idx = jnp.zeros((bc,), jnp.int32).at[
+                jnp.where(sel, pos, bc)].set(lanes, mode="drop")
+            sub = jax.tree.map(lambda a: a[idx], st)
+            sub, _ = step(sub, keys[idx])
+            st = jax.tree.map(lambda a, u: a.at[idx].set(u), st, sub)
             return it + 1, st
 
         _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))

@@ -16,8 +16,13 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_sharded_render_matches_single_device():
-    """Sharding is a pure execution detail: N-device output must equal the
-    1-device render bitwise (counter-based RNG guarantees it)."""
+    """Sharding is a pure execution detail: the counter-based RNG keys every
+    sampling decision by (pixel, sample, lane-pop), so the N-device render
+    draws the *same estimator decisions* as the 1-device one — checked
+    exactly via the casted-ray count.  Radiance agrees to float rounding:
+    the wavefront-compacted walk (shaders/engine.py) fuses differently at
+    different batch sizes, so XLA's FMA contraction may round the last few
+    ulps differently across layouts."""
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL, 1.0)
     cfg = RenderConfig(width=32, height=32, spp=2, shader=C.SHADER_WHITTED,
                        accelerator=C.ACC_NAIVE)
@@ -26,7 +31,7 @@ def test_sharded_render_matches_single_device():
     m = pmesh.make_mesh()
     out = pmesh.render_frame_sharded(scene, cam, cfg, key, m)
     np.testing.assert_allclose(np.asarray(ref["image"]),
-                               np.asarray(out["image"]), atol=1e-6)
+                               np.asarray(out["image"]), atol=5e-5)
     assert int(ref["rays"]) == int(out["rays"])
 
 
