@@ -1,5 +1,13 @@
 """Host-side scene construction: append primitives in Python, then freeze
-into padded SoA device arrays.
+into padded SoA **host (numpy)** arrays.
+
+The frozen Scene stays on the host so accelerator builds (ops/bvh.py,
+ops/pallas_bvh.py) run as pure numpy with zero device round-trips — on
+tunneled TPU backends each device touch costs seconds of RPC latency.  The
+accelerator `build()` functions (and `Renderer`) ship the finished scene to
+the device in a single `jax.device_put`; numpy-backed scenes also work
+directly under jit (JAX transfers them per call), which is what the CPU
+test meshes use.
 
 This plays the role of the reference's mutable `MobileRT::Scene` container
 (reference app/MobileRT/Scene.hpp:20-63) during scene setup; `build()`
@@ -8,7 +16,6 @@ produces the immutable `types.Scene` pytree the kernels consume.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from . import constants as C
 from .types import (Lights, Materials, Planes, Scene, Spheres, TextureAtlas,
@@ -167,32 +174,32 @@ class SceneBuilder:
             return np.zeros((0,) + shape, np.float32)
 
         tri = Triangles(
-            point_a=jnp.asarray(_pad_rows(tdata["point_a"], nt)),
-            ab=jnp.asarray(_pad_rows(tdata["ab"], nt, 1.0)),
-            ac=jnp.asarray(_pad_rows(tdata["ac"], nt, 1.0)),
-            normal_a=jnp.asarray(_pad_rows(tdata["na"], nt, 1.0)),
-            normal_b=jnp.asarray(_pad_rows(tdata["nb"], nt, 1.0)),
-            normal_c=jnp.asarray(_pad_rows(tdata["nc"], nt, 1.0)),
-            uv_a=jnp.asarray(_pad_rows(tdata["uva"], nt, -1.0)),
-            uv_b=jnp.asarray(_pad_rows(tdata["uvb"], nt, -1.0)),
-            uv_c=jnp.asarray(_pad_rows(tdata["uvc"], nt, -1.0)),
-            mat_id=jnp.asarray(_pad_rows(tdata["mat_id"], nt)),
-            valid=jnp.asarray(np.arange(nt) < num_tri),
+            point_a=np.asarray(_pad_rows(tdata["point_a"], nt)),
+            ab=np.asarray(_pad_rows(tdata["ab"], nt, 1.0)),
+            ac=np.asarray(_pad_rows(tdata["ac"], nt, 1.0)),
+            normal_a=np.asarray(_pad_rows(tdata["na"], nt, 1.0)),
+            normal_b=np.asarray(_pad_rows(tdata["nb"], nt, 1.0)),
+            normal_c=np.asarray(_pad_rows(tdata["nc"], nt, 1.0)),
+            uv_a=np.asarray(_pad_rows(tdata["uva"], nt, -1.0)),
+            uv_b=np.asarray(_pad_rows(tdata["uvb"], nt, -1.0)),
+            uv_c=np.asarray(_pad_rows(tdata["uvc"], nt, -1.0)),
+            mat_id=np.asarray(_pad_rows(tdata["mat_id"], nt)),
+            valid=np.asarray(np.arange(nt) < num_tri),
         )
         sph = Spheres(
-            center=jnp.asarray(_pad_rows(stack(self._sph, "center", (3,)), ns)),
-            sq_radius=jnp.asarray(_pad_rows(
+            center=np.asarray(_pad_rows(stack(self._sph, "center", (3,)), ns)),
+            sq_radius=np.asarray(_pad_rows(
                 np.asarray([s["sq_radius"] for s in self._sph], np.float32), ns, 1.0)),
-            mat_id=jnp.asarray(_pad_rows(
+            mat_id=np.asarray(_pad_rows(
                 np.asarray([s["mat_id"] for s in self._sph], np.int32), ns)),
-            valid=jnp.asarray(np.arange(ns) < len(self._sph)),
+            valid=np.asarray(np.arange(ns) < len(self._sph)),
         )
         pla = Planes(
-            point=jnp.asarray(_pad_rows(stack(self._pla, "point", (3,)), npl)),
-            normal=jnp.asarray(_pad_rows(stack(self._pla, "normal", (3,)), npl, 1.0)),
-            mat_id=jnp.asarray(_pad_rows(
+            point=np.asarray(_pad_rows(stack(self._pla, "point", (3,)), npl)),
+            normal=np.asarray(_pad_rows(stack(self._pla, "normal", (3,)), npl, 1.0)),
+            mat_id=np.asarray(_pad_rows(
                 np.asarray([p["mat_id"] for p in self._pla], np.int32), npl)),
-            valid=jnp.asarray(np.arange(npl) < len(self._pla)),
+            valid=np.asarray(np.arange(npl) < len(self._pla)),
         )
 
         def mstack(idx, shape3=True):
@@ -201,24 +208,24 @@ class SceneBuilder:
             return np.zeros((0, 3) if shape3 else (0,), np.float32)
 
         mat = Materials(
-            le=jnp.asarray(_pad_rows(mstack(0), nm)),
-            kd=jnp.asarray(_pad_rows(mstack(1), nm)),
-            ks=jnp.asarray(_pad_rows(mstack(2), nm)),
-            kt=jnp.asarray(_pad_rows(mstack(3), nm)),
-            ior=jnp.asarray(_pad_rows(mstack(4, False), nm, 1.0)),
-            tex_id=jnp.asarray(_pad_rows(
+            le=np.asarray(_pad_rows(mstack(0), nm)),
+            kd=np.asarray(_pad_rows(mstack(1), nm)),
+            ks=np.asarray(_pad_rows(mstack(2), nm)),
+            kt=np.asarray(_pad_rows(mstack(3), nm)),
+            ior=np.asarray(_pad_rows(mstack(4, False), nm, 1.0)),
+            tex_id=np.asarray(_pad_rows(
                 np.asarray([m[5] for m in self._mat], np.int32), nm, -1)),
         )
         lights = Lights(
-            kind=jnp.asarray(_pad_rows(
+            kind=np.asarray(_pad_rows(
                 np.asarray([l["kind"] for l in self._lights], np.int32), nl)),
-            position=jnp.asarray(_pad_rows(stack(self._lights, "position", (3,)), nl)),
-            tri_a=jnp.asarray(_pad_rows(stack(self._lights, "tri_a", (3,)), nl)),
-            tri_ab=jnp.asarray(_pad_rows(stack(self._lights, "tri_ab", (3,)), nl, 1.0)),
-            tri_ac=jnp.asarray(_pad_rows(stack(self._lights, "tri_ac", (3,)), nl, 1.0)),
-            radiance=jnp.asarray(_pad_rows(stack(self._lights, "radiance", (3,)), nl)),
-            valid=jnp.asarray(np.arange(nl) < len(self._lights)),
-            num=jnp.asarray(len(self._lights), jnp.int32),
+            position=np.asarray(_pad_rows(stack(self._lights, "position", (3,)), nl)),
+            tri_a=np.asarray(_pad_rows(stack(self._lights, "tri_a", (3,)), nl)),
+            tri_ab=np.asarray(_pad_rows(stack(self._lights, "tri_ab", (3,)), nl, 1.0)),
+            tri_ac=np.asarray(_pad_rows(stack(self._lights, "tri_ac", (3,)), nl, 1.0)),
+            radiance=np.asarray(_pad_rows(stack(self._lights, "radiance", (3,)), nl)),
+            valid=np.asarray(np.arange(nl) < len(self._lights)),
+            num=np.asarray(len(self._lights), np.int32),
         )
 
         if self._textures:
@@ -229,7 +236,7 @@ class SceneBuilder:
             for i, t in enumerate(self._textures):
                 data[i, : t.shape[0], : t.shape[1]] = t
                 sizes[i] = (t.shape[0], t.shape[1])
-            atlas = TextureAtlas(data=jnp.asarray(data), sizes=jnp.asarray(sizes))
+            atlas = TextureAtlas(data=np.asarray(data), sizes=np.asarray(sizes))
         else:
             atlas = empty_texture_atlas()
 

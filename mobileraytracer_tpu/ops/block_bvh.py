@@ -131,13 +131,13 @@ def build_blocks(tris: Triangles, block_size: int = DEFAULT_BLOCK_SIZE,
         tb[bi, :cnt, 9] = va_np[f0:f0 + cnt].astype(np.float32)
 
     grid = BlockGrid(
-        super_lo=jnp.asarray(bmin_p.min(1).T.copy()),
-        super_hi=jnp.asarray(bmax_p.max(1).T.copy()),
-        block_lo=jnp.asarray(np.moveaxis(bmin_p, 2, 0).copy()),
-        block_hi=jnp.asarray(np.moveaxis(bmax_p, 2, 0).copy()),
-        block_first=jnp.asarray(bfirst_p),
-        block_count=jnp.asarray(bcount_p),
-        tri_blocks=jnp.asarray(tb),
+        super_lo=bmin_p.min(1).T.copy(),
+        super_hi=bmax_p.max(1).T.copy(),
+        block_lo=np.moveaxis(bmin_p, 2, 0).copy(),
+        block_hi=np.moveaxis(bmax_p, 2, 0).copy(),
+        block_first=bfirst_p,
+        block_count=bcount_p,
+        tri_blocks=tb,
         block_size=bs_max,
         top_s=min(top_s, k1),
         top_m=min(top_m, k1 * bps),
@@ -351,9 +351,10 @@ def traverse_any(grid: BlockGrid, tris: Triangles, o, d, max_dist,
 def build(scene: Scene, block_size: int = DEFAULT_BLOCK_SIZE,
           **kwargs) -> Scene:
     """Attaches the two-level block table to the scene (reordering its
-    triangles).  Stored in the scene's `bvh` slot as a BlockGrid."""
+    triangles).  Stored in the scene's `bvh` slot as a BlockGrid.  Ships
+    the finished scene to the default device in one batched transfer."""
     tris2, grid = build_blocks(scene.triangles, block_size, **kwargs)
-    return scene.replace(triangles=tris2, bvh=grid)
+    return jax.device_put(scene.replace(triangles=tris2, bvh=grid))
 
 
 def intersect_scene_blocks(scene: Scene, o, d, prev_kind, prev_id,

@@ -103,11 +103,11 @@ def build_triangle_bvh(tris: Triangles,
     n_valid = int(valid.sum())
 
     if n_valid == 0:
-        bvh = BVH(node_min=jnp.zeros((1, 3), jnp.float32),
-                  node_max=jnp.zeros((1, 3), jnp.float32),
-                  node_first=jnp.zeros((1,), jnp.int32),
-                  node_skip=jnp.ones((1,), jnp.int32),
-                  node_count=jnp.zeros((1,), jnp.int32))
+        bvh = BVH(node_min=np.zeros((1, 3), np.float32),
+                  node_max=np.zeros((1, 3), np.float32),
+                  node_first=np.zeros((1,), np.int32),
+                  node_skip=np.ones((1,), np.int32),
+                  node_count=np.zeros((1,), np.int32))
         return tris, bvh
 
     ids = np.nonzero(valid)[0]
@@ -174,7 +174,9 @@ def build_triangle_bvh(tris: Triangles,
                            np.nonzero(~valid)[0]]).astype(np.int32)
 
     def g(a):
-        return jnp.asarray(np.asarray(a)[perm])
+        # Stays numpy: the caller (or the scene-level build()) ships the
+        # finished tables to the device in one batched transfer.
+        return np.asarray(a)[perm]
 
     tris2 = Triangles(
         point_a=g(tris.point_a), ab=g(tris.ab), ac=g(tris.ac),
@@ -183,11 +185,11 @@ def build_triangle_bvh(tris: Triangles,
         uv_a=g(tris.uv_a), uv_b=g(tris.uv_b), uv_c=g(tris.uv_c),
         mat_id=g(tris.mat_id), valid=g(tris.valid))
 
-    bvh = BVH(node_min=jnp.asarray(np.stack(node_min)),
-              node_max=jnp.asarray(np.stack(node_max)),
-              node_first=jnp.asarray(node_first),
-              node_skip=jnp.asarray(node_skip),
-              node_count=jnp.asarray(node_count))
+    bvh = BVH(node_min=np.stack(node_min).astype(np.float32),
+              node_max=np.stack(node_max).astype(np.float32),
+              node_first=node_first,
+              node_skip=node_skip,
+              node_count=node_count)
     return tris2, bvh
 
 
@@ -195,9 +197,11 @@ def build(scene: Scene) -> Scene:
     """Attaches a triangle BVH to the scene (reordering its triangles).
     Spheres and planes stay on the linear path — real scenes carry at most
     a handful (the reference builds per-type BVHs but its OBJ scenes are
-    triangles-only)."""
+    triangles-only).  The finished scene ships to the default device in one
+    batched transfer (host-side numpy builds avoid per-array RPC latency on
+    tunneled TPU backends)."""
     tris2, bvh = build_triangle_bvh(scene.triangles)
-    return scene.replace(triangles=tris2, bvh=bvh)
+    return jax.device_put(scene.replace(triangles=tris2, bvh=bvh))
 
 
 # ---------------------------------------------------------------------------

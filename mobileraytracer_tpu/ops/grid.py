@@ -98,16 +98,16 @@ def build_grid(scene: Scene, size: int = DEFAULT_GRID_SIZE) -> Scene:
             ids.append(pid)
 
     grid = RegularGrid(
-        bounds_min=jnp.asarray(wmin),
-        bounds_max=jnp.asarray(wmax),
-        cell_start=jnp.asarray(start),
-        item_kind=jnp.asarray(np.asarray(kinds, np.int32)
-                              if kinds else np.zeros(1, np.int32)),
-        item_id=jnp.asarray(np.asarray(ids, np.int32)
-                            if ids else np.zeros(1, np.int32)),
+        bounds_min=np.asarray(wmin, np.float32),
+        bounds_max=np.asarray(wmax, np.float32),
+        cell_start=np.asarray(start),
+        item_kind=(np.asarray(kinds, np.int32)
+                   if kinds else np.zeros(1, np.int32)),
+        item_id=(np.asarray(ids, np.int32)
+                 if ids else np.zeros(1, np.int32)),
         size=size,
     )
-    return scene.replace(bvh=grid)
+    return jax.device_put(scene.replace(bvh=grid))
 
 
 def _ray_cell_items(grid: RegularGrid, scene: Scene, o, d, cell_idx,

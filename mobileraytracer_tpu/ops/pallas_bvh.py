@@ -174,11 +174,11 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
     attr[:, 24] = np.asarray(tris2.mat_id).astype(np.float32)
 
     grid = PallasGrid(
-        super_lo=jnp.asarray(bmin_p.min(1).T.copy()),
-        super_hi=jnp.asarray(bmax_p.max(1).T.copy()),
-        blocks_packed=jnp.asarray(packed.reshape(k1, 8 * bps)),
-        tb=jnp.asarray(tb),
-        tri_attr=jnp.asarray(attr),
+        super_lo=bmin_p.min(1).T.copy(),
+        super_hi=bmax_p.max(1).T.copy(),
+        blocks_packed=packed.reshape(k1, 8 * bps),
+        tb=tb,
+        tri_attr=attr,
         top_s=min(top_s, k1),
         top_m=min(top_m, k1 * bps),
     )
@@ -550,7 +550,10 @@ def build(scene: Scene, **kwargs) -> Scene:
     """Attaches the Pallas block table to the scene (reordering its
     triangles).  Stored in the scene's `bvh` slot as a PallasGrid."""
     tris2, grid = build_blocks(scene.triangles, **kwargs)
-    return scene.replace(triangles=tris2, bvh=grid)
+    # One batched host->device transfer for the whole scene + tables
+    # (building in numpy and shipping once avoids per-array RPC latency on
+    # tunneled TPU backends, where each device touch costs seconds).
+    return jax.device_put(scene.replace(triangles=tris2, bvh=grid))
 
 
 def intersect_scene_pallas(scene: Scene, o, d, prev_kind, prev_id,
