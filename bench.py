@@ -37,22 +37,38 @@ def main():
                        shader=C.SHADER_WHITTED, accelerator=C.ACC_BVH)
     key = jax.random.PRNGKey(0)
 
-    # Warmup / compile.  The scalar fetch is deliberate: on tunneled TPU
-    # backends the first device-to-host transfer pays a large one-time
-    # handshake cost that must not land in the timed region.
-    out = render_frame(scene, cam, cfg, key)
-    out["image"].block_until_ready()
-    _ = int(out["rays"])
+    # Timing on the tunneled TPU backend: `block_until_ready` does NOT wait
+    # for device completion and every value fetch pays ~0.1-0.4 s of relay
+    # latency, so per-frame host loops measure the tunnel, not the chip.
+    # Instead all reps run inside ONE executable (a fori_loop whose carry
+    # chains frame results, forcing sequential execution and defeating CSE)
+    # and exactly one scalar comes back; frame time = (T(reps) - T(1)) /
+    # (reps - 1) subtracts the fetch/dispatch constant.
+    import jax.numpy as jnp
 
-    reps = 5
+    @jax.jit
+    def frames(n):
+        def body(i, carry):
+            out = render_frame(scene, cam, cfg,
+                               jax.random.fold_in(key, i + carry[1] * 0))
+            return (carry[0] * 1e-20 + jnp.sum(out["image"]),
+                    carry[1] + out["rays"])
+        return jax.lax.fori_loop(0, n, body, (jnp.zeros(()), jnp.zeros((), jnp.int32)))
+
+    _, r1 = frames(1)
+    rays_per_frame = int(r1)  # compile + warm the relay
     t0 = time.perf_counter()
-    rays = 0
-    for _ in range(reps):
-        out = render_frame(scene, cam, cfg, key)
-        out["image"].block_until_ready()
-        rays += int(out["rays"])
-    dt = time.perf_counter() - t0
+    _ = float(frames(1)[0])
+    t1 = time.perf_counter() - t0
 
+    reps = 9
+    t0 = time.perf_counter()
+    _, rn = frames(reps)
+    total_rays = int(rn)
+    tn = time.perf_counter() - t0
+
+    dt = (tn - t1) / (reps - 1)
+    rays = total_rays // reps
     rays_per_s = rays / dt
     target = 1.0e9  # north-star rays/s per host (BASELINE.md)
     print(json.dumps({

@@ -77,8 +77,7 @@ class PallasGrid:
     # per-block fields forced transposes costing ~60 ms/traversal on TPU).
     blocks_packed: jnp.ndarray  # (K1, 8 * BPS) f32
     # Packed triangle blocks: rows 0-2 point_a xyz, 3-5 ab, 6-8 ac,
-    # 9 validity (1.0/0.0); rows 10-15 carry the block's own AABB
-    # (lox loy loz hix hiy hiz) in lane 0 for the kernel's exact entry test.
+    # 9 validity (1.0/0.0), 10 global triangle slot id per lane.
     tb: jnp.ndarray           # (NB, 16, LANES) f32, NB = K1 * BPS
     # Packed per-triangle shading attributes for the hit fill (layout in
     # intersect._fill_hit's docstring); aligned to the reordered triangles.
@@ -140,8 +139,6 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
     tb = np.zeros((padded, 16, lanes), np.float32)
     bf = bfirst_p.reshape(-1)
     bc = bcount_p.reshape(-1)
-    bmin_f = bmin_p.reshape(-1, 3)
-    bmax_f = bmax_p.reshape(-1, 3)
     for bi in range(padded):
         cnt = int(bc[bi])
         if cnt == 0:
@@ -151,8 +148,10 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         tb[bi, 3:6, :cnt] = ab[f0:f0 + cnt].T
         tb[bi, 6:9, :cnt] = ac[f0:f0 + cnt].T
         tb[bi, 9, :cnt] = va[f0:f0 + cnt]
-        tb[bi, 10:13, 0] = bmin_f[bi]
-        tb[bi, 13:16, 0] = bmax_f[bi]
+        # Row 10: per-lane global triangle slot id (f32 exact to 2^24) —
+        # the banded kernel reads hit ids straight from the block instead
+        # of fetching per-round `first` offsets.
+        tb[bi, 10, :cnt] = np.arange(f0, f0 + cnt, dtype=np.float32)
 
     packed = np.zeros((k1, 8, bps), np.float32)
     packed[:, 0:3] = np.moveaxis(bmin_p, 2, 1)
@@ -203,9 +202,10 @@ def _subtile_intervals(o, inv_d, nt):
     return out
 
 
-def _interval_entry_lb(ivals, lo_hi):
+def _interval_entry_lb(ivals, lo_hi, with_ub=False):
     """Conservative per-subtile lower bound of min-over-rays slab entry,
-    with a *sound* certain-miss filter.
+    with a *sound* certain-miss filter (optionally also the conservative
+    exit upper bound, used to prove a super exhausted during refill).
 
     Interval arithmetic over the subtile's ray bundle: with per-axis
     o in [o0, o1] and 1/d in [i0, i1] across the ST rays, each slab time
@@ -245,15 +245,31 @@ def _interval_entry_lb(ivals, lo_hi):
         far = jnp.maximum(lo_max, hi_max)
         lb = near if lb is None else jnp.maximum(lb, near)
         ub_far = far if ub_far is None else jnp.minimum(ub_far, far)
-    lb = jnp.maximum(lb, 0.0)
-    certain_miss = (ub_far < lb) | (ub_far < 0.0)
+    # NOTE: lb is deliberately NOT clamped at 0: the raw (possibly
+    # negative) value stays a valid lower bound, and keeping boxes that
+    # contain the ray origins *distinct* (instead of all tying at 0)
+    # lets the windowed refill in `traverse` make progress by value.
+    certain_miss = (ub_far < jnp.maximum(lb, 0.0)) | (ub_far < 0.0)
+    if with_ub:
+        return jnp.where(certain_miss, jnp.inf, lb), ub_far
     return jnp.where(certain_miss, jnp.inf, lb)
 
 
-def _candidates(grid: PallasGrid, o, d):
-    """Returns (cand_gid, cand_first, cand_entry), each (n_subtiles, top_m);
-    entries are conservative lower bounds ascending along the last axis
-    (RAY_LENGTH_MAX on non-candidates)."""
+def _candidates(grid: PallasGrid, o, d, floor=None, cap=None):
+    """One *window* of candidate blocks per ST-ray subtile.
+
+    Returns (cand_gid, cand_first, cand_entry, cut): the top_m unvisited
+    candidate blocks in ascending conservative-entry order (entry
+    RAY_LENGTH_MAX on non-candidates), plus the per-subtile window cutoff
+    `cut` — every block NOT in any window so far provably has entry
+    lower bound >= cut, so a subtile whose worst current hit is <= cut is
+    fully resolved.  `floor` (strict lower cutoff, from the previous
+    window's cut) and `cap` (current worst hit; blocks at or beyond it
+    cannot improve anything) bound the window for the refill loop in
+    `traverse` — the TPU analogue of continuing the reference's stack walk
+    past the first N nodes (BVH.hpp:327-384 has no budget; here exactness
+    comes from windows instead).
+    """
     b = o.shape[0]
     nt = b // ST
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
@@ -264,15 +280,28 @@ def _candidates(grid: PallasGrid, o, d):
     # bounds (16x less work than per-ray slab + reduce).
     sup_lo_hi = [(grid.super_lo[a][None, :], grid.super_hi[a][None, :])
                  for a in range(3)]
-    e_super_t = _interval_entry_lb(ivals, sup_lo_hi)               # (nt, K1)
+    e_super_t, ub_super = _interval_entry_lb(ivals, sup_lo_hi,
+                                             with_ub=True)        # (nt, K1)
+    if cap is not None:
+        e_super_t = jnp.where(e_super_t >= cap[:, None], jnp.inf, e_super_t)
+    if floor is not None:
+        # A super whose conservative exit bound is below the window floor
+        # cannot hold any block with lb >= floor: it is fully covered by
+        # earlier windows, so free its phase-A slot for farther supers
+        # (without this, rays crossing > top_s supers could stall).
+        e_super_t = jnp.where(ub_super < floor[:, None], jnp.inf,
+                              e_super_t)
     s = grid.top_s
     neg_s, sup_ids = jax.lax.top_k(-e_super_t, s)
-    sup_ok = jnp.isfinite(-neg_s)
+    e_sel = -neg_s
+    sup_ok = jnp.isfinite(e_sel)
+    # Supers beyond the selection have entry >= sup_cut: blocks inside them
+    # are covered by later windows.
+    sup_cut = jnp.where(jnp.all(sup_ok, axis=1), -neg_s[:, -1], jnp.inf)
 
     # Phase B: one large-row gather of the selected supers' packed block
     # metadata (component-grouped — slices stay lane-major), conservative
-    # tile-interval bounds, one top-k.  The kernel re-tests each visited
-    # block's AABB exactly, so no per-ray refine pass is needed here.
+    # tile-interval bounds, one top-k.
     bps = grid.bps
     nc = s * bps
     gb = grid.blocks_packed[sup_ids]                  # (nt, s, 8*BPS)
@@ -282,12 +311,25 @@ def _candidates(grid: PallasGrid, o, d):
     cb_count = f(7)
 
     lb = _interval_entry_lb(ivals, lo_hi)                          # (nt, nc)
+    # max with the containing super's entry: makes lb monotone w.r.t. the
+    # super ordering, which the `cut` soundness argument needs (a block's
+    # own interval LB is not provably >= its super's).
+    lb = jnp.maximum(lb, jnp.repeat(e_sel, bps, 1))
     cand_ok = (cb_count > 0) & jnp.repeat(sup_ok, bps, 1)
     lb = jnp.where(cand_ok, lb, jnp.inf)
+    if cap is not None:
+        lb = jnp.where(lb >= cap[:, None], jnp.inf, lb)
+    if floor is not None:
+        # Strict: blocks with lb == floor re-enter (window boundaries may
+        # split ties); duplicates only re-confirm t_best.
+        lb = jnp.where(lb < floor[:, None], jnp.inf, lb)
 
     m = min(grid.top_m, nc)
     neg_lb, cand = jax.lax.top_k(-lb, m)                           # (nt, m)
     cand_entry = -neg_lb
+    window_full = jnp.isfinite(cand_entry[:, -1])
+    cut = jnp.minimum(jnp.where(window_full, cand_entry[:, -1], jnp.inf),
+                      sup_cut)
     cand_first = jnp.take_along_axis(cb_first, cand, 1)
     gids = (sup_ids[:, :, None] * bps
             + jnp.arange(bps, dtype=jnp.int32)[None, None, :])
@@ -297,165 +339,154 @@ def _candidates(grid: PallasGrid, o, d):
     # masks them if it does).
     nb = grid.tb.shape[0]
     cand_gid = jnp.clip(cand_gid, 0, nb - 1)
-    return cand_gid, cand_first, jnp.where(jnp.isfinite(cand_entry),
-                                           cand_entry, _BIG)
+    return (cand_gid, cand_first,
+            jnp.where(jnp.isfinite(cand_entry), cand_entry, _BIG),
+            jnp.where(jnp.isfinite(cut), cut, _BIG))
 
 
 # ---------------------------------------------------------------------------
 # The Pallas kernel.
 # ---------------------------------------------------------------------------
 
-def _mt_block(rays, tr, first_f):
-    """Dense (ST, LANES) Moller-Trumbore of one packed block against one
-    subtile.  rays: (ST, 8) [ox oy oz dx dy dz t_init prev]; tr: (16, LANES)
-    packed rows.  Returns (t, slot) with misses/self-hits at _BIG."""
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    prev = rays[:, 7:8]
-    pax, pay, paz = tr[0:1, :], tr[1:2, :], tr[2:3, :]
-    abx, aby, abz = tr[3:4, :], tr[4:5, :], tr[5:6, :]
-    acx, acy, acz = tr[6:7, :], tr[7:8, :], tr[8:9, :]
-    tvalid = tr[9:10, :] > 0.5
-
-    px = dy * acz - dz * acy
-    py = dz * acx - dx * acz
-    pz = dx * acy - dy * acx
-    det = abx * px + aby * py + abz * pz
-    inv = 1.0 / jnp.where(jnp.abs(det) < C.EPSILON, 1.0, det)
-    tvx = ox - pax
-    tvy = oy - pay
-    tvz = oz - paz
-    u = inv * (tvx * px + tvy * py + tvz * pz)
-    qx = tvy * abz - tvz * aby
-    qy = tvz * abx - tvx * abz
-    qz = tvx * aby - tvy * abx
-    v = inv * (dx * qx + dy * qy + dz * qz)
-    t = inv * (acx * qx + acy * qy + acz * qz)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tr.shape[1]), 1).astype(
-        jnp.float32)
-    slot = first_f + lane                                    # (1, LANES)
-    ok = ((jnp.abs(det) >= C.EPSILON) & (u >= 0.0) & (u <= 1.0)
-          & (v >= 0.0) & (u + v <= 1.0) & (t >= C.EPSILON)
-          & tvalid & (slot != prev))
-    return jnp.where(ok, t, _BIG), jnp.broadcast_to(slot, t.shape)
-
-
-_PIPE = 4  # outstanding block DMAs; hides HBM latency behind short compute
+_PIPE = 4  # outstanding block-DMA rounds; hides HBM latency behind compute
 
 
 def _make_kernel(m: int, any_hit: bool):
-    # depth DMAs stay in flight; depth+1 buffer slots so the prefetch for
-    # block i+depth never lands in the slot block i is computing from.
+    """Banded lockstep traversal: the program's GROUP subtiles advance
+    through their candidate lists in shared rounds — round r intersects
+    every live band's r-th candidate block as ONE dense
+    (GROUP, ST, LANES) Moller-Trumbore op (16 VREGs per op, saturating the
+    VPU), with GROUP block DMAs per round pipelined _PIPE rounds deep.  A
+    band drops out when its next candidate's conservative entry exceeds its
+    worst current hit (the reference's near-first early-out,
+    BVH.hpp:327-384, vectorized across bands); the loop ends when every
+    band is done.  Sequential per-subtile walks wasted ~70% of the VPU on
+    (ST, LANES)-sized ops and scalar control — the banded walk trades a few
+    masked extra visits (lockstep skew) for 8x wider compute."""
     depth = min(_PIPE, m)
     nslots = depth + 1
 
-    def kernel(gid_ref, first_ref, entry_ref, rays_ref, tb_ref,
+    def kernel(gid_ref, entry_ref, rays_ref, tb_ref,
                t_out, id_out, steps_out, scratch, sem):
-        for g in range(GROUP):
-            rays = rays_ref[g * ST:(g + 1) * ST, :]          # (ST, 8)
-            t_init = rays[:, 6:7]                            # (ST, 1)
-            # Safe reciprocal directions for the per-block exact slab test.
-            dcomp = [rays[:, 3 + a:4 + a] for a in range(3)]
-            icomp = [1.0 / jnp.where(jnp.abs(dc) < 1e-30,
-                                     jnp.where(dc < 0, -1e-30, 1e-30), dc)
-                     for dc in dcomp]
-            ocomp = [rays[:, a:a + 1] for a in range(3)]
+        g_n = GROUP
+        rays = rays_ref[:]                                  # (G*ST, 8)
 
-            def block_entry(tr):
-                """Exact per-ray slab entry vs the block AABB stored in
-                lane 0 of rows 10-15 of the packed block; (ST, 1)."""
-                tnear, tfar = None, None
-                for a in range(3):
-                    t0 = (tr[10 + a:11 + a, 0:1] - ocomp[a]) * icomp[a]
-                    t1 = (tr[13 + a:14 + a, 0:1] - ocomp[a]) * icomp[a]
-                    near = jnp.minimum(t0, t1)
-                    far = jnp.maximum(t0, t1)
-                    tnear = near if tnear is None else jnp.maximum(tnear, near)
-                    tfar = far if tfar is None else jnp.minimum(tfar, far)
-                ok = (tnear <= tfar) & (tfar >= 0.0)
-                return jnp.where(ok, jnp.maximum(tnear, 0.0), _BIG)
+        def comp(c):
+            return rays[:, c:c + 1].reshape(g_n, ST, 1)
 
-            def start(i):
-                gid = gid_ref[0, 0, g * m + i]
-                sl = jax.lax.rem(i, nslots)
+        ox, oy, oz = comp(0), comp(1), comp(2)
+        dx, dy, dz = comp(3), comp(4), comp(5)
+        t_init = comp(6)                                    # (G, ST, 1)
+        prev = comp(7)
+
+        def start(r):
+            sl = jax.lax.rem(r, nslots)
+            for g in range(g_n):
                 pltpu.make_async_copy(
-                    tb_ref.at[gid], scratch.at[sl], sem.at[sl]).start()
+                    tb_ref.at[gid_ref[0, 0, g * m + r]],
+                    scratch.at[sl, g], sem.at[sl, g]).start()
 
-            # Fill the pipeline: `depth` DMAs in flight.
-            for j in range(depth):
-                start(jnp.int32(j))
+        for j in range(depth):
+            start(jnp.int32(j))
 
-            def cond(carry):
-                # t_worst / done are scalars maintained on improvement only,
-                # so skipped iterations pay no vector reduce.
-                i, t_best, _, t_worst, done = carry
-                return ((i < m) & ~done
-                        & (entry_ref[0, 0, g * m + i] < t_worst))
+        def all_done(r, t_best):
+            """Scalar: no band's next candidate (round r+1) can still beat
+            its worst current hit — visits past this point are provably
+            useless (entries ascend, t_worst only shrinks), the banded form
+            of the reference's near-first early-out (BVH.hpp:327-384).
+            Dead bands keep lockstep-visiting until every band is done;
+            their extra masked visits only re-confirm t_best (exactness
+            never depends on the exit test)."""
+            done = None
+            nxt_idx = jnp.minimum(r + 1, m - 1)
+            past = r + 1 >= m
+            for g in range(g_n):
+                tw_g = jnp.max(t_best[g])
+                dead_g = past | (entry_ref[0, 0, g * m + nxt_idx] >= tw_g)
+                if any_hit:
+                    # Band fully occluded: every ray found a blocker.
+                    not_occ = jnp.max(
+                        jnp.where(t_best[g] < t_init[g], 0.0, 1.0))
+                    dead_g = dead_g | (not_occ < 0.5)
+                done = dead_g if done is None else (done & dead_g)
+            return done
 
-            def body(carry):
-                i, t_best, slot_best, t_worst, done = carry
-                sl = jax.lax.rem(i, nslots)
+        def cond(carry):
+            r, t_best, slot_best, alive = carry
+            return alive
+
+        def body(carry):
+            r, t_best, slot_best, alive = carry
+            sl = jax.lax.rem(r, nslots)
+            for g in range(g_n):
                 pltpu.make_async_copy(
-                    tb_ref.at[gid_ref[0, 0, g * m + i]], scratch.at[sl],
-                    sem.at[sl]).wait()
-                # Keep the pipeline full while this block computes.
-                @pl.when(i + depth < m)
-                def _():
-                    start(i + depth)
-                tr = scratch[sl]
-                # The candidate order is a conservative lower bound; the
-                # exact slab test here skips blocks no ray can improve on
-                # (reference near-child rejection, BVH.hpp:340-382).
-                e_exact = block_entry(tr)                    # (ST, 1)
-                useful = jnp.any(e_exact < t_best)
-                first_f = first_ref[0, 0, g * m + i].astype(jnp.float32)
+                    tb_ref.at[gid_ref[0, 0, g * m + r]],
+                    scratch.at[sl, g], sem.at[sl, g]).wait()
 
-                def visit(args):
-                    t_best, slot_best, t_worst, done = args
-                    t, slot = _mt_block(rays, tr, first_f.reshape(1, 1))
-                    t = jnp.where(t < t_best, t, _BIG)
-                    tmin = jnp.min(t, axis=1, keepdims=True)  # (ST, 1)
-                    smin = jnp.min(jnp.where(t <= tmin, slot, _BIG),
-                                   axis=1, keepdims=True)
-                    closer = tmin < t_best
-                    t_best = jnp.where(closer, tmin, t_best)
-                    slot_best = jnp.where(closer, smin, slot_best)
-                    t_worst = jnp.max(t_best)
-                    if any_hit:
-                        done = jnp.all(t_best < t_init)
-                    return (t_best, slot_best, t_worst, done)
+            @pl.when(r + depth < m)
+            def _():
+                start(r + depth)
 
-                t_best, slot_best, t_worst, done = jax.lax.cond(
-                    useful, visit, lambda args: args,
-                    (t_best, slot_best, t_worst, done))
-                return (i + 1, t_best, slot_best, t_worst, done)
+            tr = scratch[sl]                                # (G, 16, LANES)
+            pax, pay, paz = tr[:, 0:1, :], tr[:, 1:2, :], tr[:, 2:3, :]
+            abx, aby, abz = tr[:, 3:4, :], tr[:, 4:5, :], tr[:, 5:6, :]
+            acx, acy, acz = tr[:, 6:7, :], tr[:, 7:8, :], tr[:, 8:9, :]
+            tvalid = tr[:, 9:10, :] > 0.5
+            slot = tr[:, 10:11, :]                          # (G, 1, LANES)
 
-            init = (jnp.int32(0), t_init,
-                    jnp.full((ST, 1), -1.0, jnp.float32),
-                    jnp.max(t_init), jnp.asarray(False))
-            i_fin, t_best, slot_best, _, _ = jax.lax.while_loop(
-                cond, body, init)
+            # Dense banded Moller-Trumbore (Triangle.cpp:63-109 acceptance).
+            px = dy * acz - dz * acy
+            py = dz * acx - dx * acz
+            pz = dx * acy - dy * acx
+            det = abx * px + aby * py + abz * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < C.EPSILON, 1.0, det)
+            tvx, tvy, tvz = ox - pax, oy - pay, oz - paz
+            u = inv * (tvx * px + tvy * py + tvz * pz)
+            qx = tvy * abz - tvz * aby
+            qy = tvz * abx - tvx * abz
+            qz = tvx * aby - tvy * abx
+            v = inv * (dx * qx + dy * qy + dz * qz)
+            t = inv * (acx * qx + acy * qy + acz * qz)
 
-            # Drain in-flight DMAs if the walk stopped early: blocks
-            # i_fin .. min(m, i_fin+depth)-1 were started but not waited.
-            for j in range(depth):
-                @pl.when(i_fin + j < jnp.minimum(m, i_fin + depth))
-                def _(j=j):
-                    sl = jax.lax.rem(i_fin + j, nslots)
+            ok = ((jnp.abs(det) >= C.EPSILON) & (u >= 0.0) & (u <= 1.0)
+                  & (v >= 0.0) & (u + v <= 1.0) & (t >= C.EPSILON)
+                  & tvalid & (slot != prev))
+            t = jnp.where(ok & (t < t_best), t, _BIG)
+            tmin = jnp.min(t, axis=2, keepdims=True)        # (G, ST, 1)
+            smin = jnp.min(jnp.where(t <= tmin,
+                                     jnp.broadcast_to(slot, t.shape), _BIG),
+                           axis=2, keepdims=True)
+            closer = tmin < t_best
+            t_best = jnp.where(closer, tmin, t_best)
+            slot_best = jnp.where(closer, smin, slot_best)
+
+            return (r + 1, t_best, slot_best, ~all_done(r, t_best))
+
+        init = (jnp.int32(0), t_init,
+                jnp.full((g_n, ST, 1), -1.0, jnp.float32),
+                ~all_done(jnp.int32(-1), t_init))
+        r_fin, t_best, slot_best, _ = jax.lax.while_loop(cond, body, init)
+
+        # Drain in-flight DMAs: rounds r_fin .. min(m, r_fin+depth)-1 were
+        # started but not waited.
+        for j in range(depth):
+            @pl.when(r_fin + j < m)
+            def _(j=j):
+                sl = jax.lax.rem(r_fin + j, nslots)
+                for g in range(g_n):
                     pltpu.make_async_copy(
-                        tb_ref.at[gid_ref[0, 0, g * m + i_fin + j]],
-                        scratch.at[sl], sem.at[sl]).wait()
+                        tb_ref.at[gid_ref[0, 0, g * m + r_fin + j]],
+                        scratch.at[sl, g], sem.at[sl, g]).wait()
 
-            t_out[g * ST:(g + 1) * ST, :] = t_best
-            id_out[g * ST:(g + 1) * ST, :] = slot_best
-            steps_out[g * ST:(g + 1) * ST, :] = jnp.full(
-                (ST, 1), i_fin.astype(jnp.float32))
+        t_out[:] = t_best.reshape(g_n * ST, 1)
+        id_out[:] = slot_best.reshape(g_n * ST, 1)
+        steps_out[:] = jnp.full((g_n * ST, 1), 1.0) * r_fin.astype(
+            jnp.float32)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("m", "any_hit", "interpret"))
-def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
+def _traverse_padded(tb, cand_gid, cand_entry, rays,
                      m: int, any_hit: bool, interpret: bool):
     """rays: (Bp, 8) with Bp a multiple of GROUP*ST.  Returns (t, slot_f32)
     each (Bp, 1)."""
@@ -469,8 +500,6 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
         in_specs=[
             # (n_groups, 1, GROUP*m): the last two dims of each block equal
             # the array dims, as the Mosaic SMEM block rule requires.
-            pl.BlockSpec((1, 1, GROUP * m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, GROUP * m), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, GROUP * m), lambda i: (i, 0, 0),
@@ -493,8 +522,9 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
             jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((min(_PIPE, m) + 1,) + tb.shape[1:], jnp.float32),
-            pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1,)),
+            pltpu.VMEM((min(_PIPE, m) + 1, GROUP) + tb.shape[1:],
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1, GROUP)),
         ],
         # Ray groups are independent: let Mosaic split the grid across both
         # megacore TensorCores.
@@ -502,7 +532,6 @@ def _traverse_padded(tb, cand_gid, cand_first, cand_entry, rays,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(cand_gid.reshape(n_groups, 1, GROUP * m),
-      cand_first.reshape(n_groups, 1, GROUP * m),
       cand_entry.reshape(n_groups, 1, GROUP * m),
       rays, tb)
     return t, sid, steps
@@ -513,6 +542,9 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     """Closest-hit (or any-hit) over the triangle set.  Returns
     (t_best (B,), best_id (B,) int32 with -1 for miss)[, steps (B,)]."""
     b = o.shape[0]
+    # Host-numpy tables must become device arrays before the refill
+    # while_loop traces over them.
+    grid = jax.tree.map(jnp.asarray, grid)
     t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
     unit = GROUP * ST
     bp = -(-b // unit) * unit
@@ -526,15 +558,72 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
         filler = jnp.zeros((pad, 8), jnp.float32).at[:, 3].set(1.0)
         rays = jnp.concatenate([rays, filler], 0)
 
-    cand_gid, cand_first, cand_entry = _candidates(
-        grid, rays[:, 0:3], rays[:, 3:6])
+    op, dp = rays[:, 0:3], rays[:, 3:6]
+    nt0 = rays.shape[0] // ST
+    # Cap window 1 at each subtile's worst t_init: for shadow segments this
+    # drops every block beyond the light outright (and resolves the subtile
+    # in one window far more often).
+    cap0 = jnp.max(rays[:, 6].reshape(nt0, ST), axis=1)
+    cand_gid, cand_first, cand_entry, cut = _candidates(grid, op, dp,
+                                                        cap=cap0)
     m = cand_gid.shape[1]
+    interp = _interpret()
 
-    t, sid, steps = _traverse_padded(grid.tb, cand_gid, cand_first,
-                                     cand_entry, rays, m, any_hit,
-                                     _interpret())
-    t = t[:b, 0]
-    sid = sid[:b, 0]
+    t, sid, steps = _traverse_padded(grid.tb, cand_gid, cand_entry,
+                                     rays, m, any_hit, interp)
+    t, sid = t[:, 0], sid[:, 0]
+    nt = bp // ST
+
+    def tw_sub(t_cur):
+        """Per-subtile worst current hit: blocks at/above it are useless."""
+        return jnp.max(t_cur.reshape(nt, ST), axis=1)
+
+    # Windowed refill — exactness beyond the per-window budget: while some
+    # subtile's window cutoff is below its worst current hit, unvisited
+    # blocks could still contain a closer hit (or a missed occluder), so
+    # select that subtile's NEXT window and walk it with t_init = the
+    # current best.  Unresolved subtiles (typically <2% after window 1)
+    # are gathered into a dense chunk so each refill iteration costs
+    # O(unresolved), not O(batch).  The iteration cap is a stall backstop
+    # for degenerate geometry (>= top_m blocks with bit-identical entry).
+    ntc = max(GROUP, -(-nt // 8) // GROUP * GROUP)
+    srange = jnp.arange(nt, dtype=jnp.int32)
+    lrange = jnp.arange(ST, dtype=jnp.int32)
+
+    def refill_cond(carry):
+        it, t, sid, cut = carry
+        return (it < 64) & jnp.any(cut < tw_sub(t))
+
+    def refill_body(carry):
+        it, t, sid, cut = carry
+        tw = tw_sub(t)
+        unres = cut < tw
+        pos = jnp.cumsum(unres) - 1
+        sel = unres & (pos < ntc)
+        sidx = jnp.zeros((ntc,), jnp.int32).at[
+            jnp.where(sel, pos, ntc)].set(srange, mode="drop")
+        lanes = (sidx[:, None] * ST + lrange[None, :]).reshape(-1)
+        rays_c = rays[lanes].at[:, 6].set(t[lanes])
+        cg, cf, ce, cut2 = _candidates(
+            grid, rays_c[:, 0:3], rays_c[:, 3:6],
+            floor=cut[sidx], cap=tw[sidx])
+        t2, s2, _ = _traverse_padded(grid.tb, cg, ce, rays_c, m, any_hit,
+                                     interp)
+        t2, s2 = t2[:, 0], s2[:, 0]
+        better = t2 < t[lanes]
+        t = t.at[lanes].set(jnp.where(better, t2, t[lanes]))
+        sid = sid.at[lanes].set(jnp.where(better, s2, sid[lanes]))
+        # Progress guard: a window that cannot advance its cutoff (all
+        # remaining entries tie bit-exactly) ends the refill for that
+        # subtile rather than looping forever.
+        cut = cut.at[sidx].set(jnp.where(cut2 > cut[sidx], cut2, _BIG))
+        return (it + 1, t, sid, cut)
+
+    _, t, sid, _ = jax.lax.while_loop(refill_cond, refill_body,
+                                      (jnp.int32(0), t, sid, cut))
+
+    t = t[:b]
+    sid = sid[:b]
     hit = t < t0
     out = (jnp.where(hit, t, _BIG), jnp.where(hit, sid.astype(jnp.int32), -1))
     if with_steps:

@@ -166,12 +166,19 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
         # the image invariant to sharding and compaction layout.
         st = 16
         if b % st == 0:
-            k_sub = k_pick.reshape(b // st, st, -1)[:, 0]
-            k_shared = jnp.repeat(k_sub, st, axis=0)
-            if share_mask is None:
-                k_pick = k_shared
-            else:
-                k_pick = jnp.where(share_mask[:, None], k_shared, k_pick)
+            def subtile_share(k):
+                shared = jnp.repeat(k.reshape(b // st, st, -1)[:, 0], st, 0)
+                if share_mask is None:
+                    return shared
+                return jnp.where(share_mask[:, None], shared, k)
+            k_pick = subtile_share(k_pick)
+            # The light *point* is shared per subtile too: each pixel's
+            # marginal point is still uniform over the light (unbiased, same
+            # argument as the pick), and one shared target point collapses
+            # the subtile's shadow bundle to a tight cone — measured 16.6 ->
+            # 4.6 mean candidate-block visits per subtile on the conference
+            # proxy (the NEE pass was ~60% of the Whitted frame).
+            k_point = subtile_share(k_point)
         lidx = jax.vmap(sampling.pick_light, (0, None))(k_pick, scene.lights.num)
         kind = scene.lights.kind[lidx]
         p_area = jax.vmap(sampling.sample_triangle_point)(

@@ -16,14 +16,16 @@ exactly what the TPU wants.  Radiance is differentiable w.r.t. material
 tables (albedo/emission) because all weights are smooth functions of them;
 the scan has a fixed trip count so reverse-mode AD works.
 
-Known deviation from the reference (documented, see PathTracer notes):
-MobileRT zeroes the *entire* diffuse-indirect contribution of a node when
-NEE succeeded and the indirect subpath later re-hit a light
-(PathTracer.cpp:110-112) — a post-order dependency.  We apply the standard
-forward-mode guard instead: the *emission* term is dropped when the path
-reached the light through a diffuse bounce whose vertex had successful NEE.
-Images agree at matched sample counts within MC noise; bitwise parity is
-impossible anyway because the RNG plumbing differs (SURVEY §7).
+The PathTracer NEE guard (reference PathTracer.cpp:107-113) is post-order:
+a node whose NEE succeeded (Ld > 0) zeroes its *entire* indirect-diffuse
+subtree contribution when the diffuse spine below later terminated at an
+emissive surface (`intersectedLight` propagates up through diffuse-indirect
+edges only, Shader.cpp:123 return).  The walker reproduces this exactly
+with per-lane *bucketed accumulation*: each diffuse-indirect edge opens a
+bucket; contributions route to the innermost enclosing bucket; because the
+per-lane stack is LIFO the walk is a DFS, so a bucket closes exactly when
+the stack top's bucket depth drops back to its level — at close the bucket
+either flows into its enclosing accumulator or is killed by the guard.
 """
 from __future__ import annotations
 
@@ -96,7 +98,8 @@ class WalkState(NamedTuple):
     st_depth: jnp.ndarray   # (B, S)
     st_pkind: jnp.ndarray   # (B, S) source-primitive kind (self-hit guard)
     st_pid: jnp.ndarray     # (B, S) source-primitive id
-    st_flags: jnp.ndarray   # (B, S) bit 0: diffuse-indirect edge w/ NEE hit
+    st_flags: jnp.ndarray   # (B, S) bit 0: entry is a diffuse-indirect child
+    st_nb: jnp.ndarray      # (B, S) number of enclosing diffuse buckets
     rgb: jnp.ndarray        # (B, 3) accumulated radiance
     rays: jnp.ndarray      # (B,) number of rays popped (casted-ray metric)
     pops: jnp.ndarray      # (B,) pops so far — the lane-local iteration
@@ -104,12 +107,23 @@ class WalkState(NamedTuple):
     # index) so the compacted walk below draws the exact same RNG stream a
     # full-batch walk would: in a full-batch walk every lane pops every
     # iteration, making pops == iteration index.
+    #
+    # PathTracer NEE-guard buckets (PathTracer.cpp:107-113): one slot per
+    # diffuse-indirect nesting level (K = depth_max).  Dummy (B, 1) arrays
+    # for the other shaders.
+    bkt_rgb: jnp.ndarray    # (B, K, 3) pending subtree contribution
+    bkt_ld: jnp.ndarray     # (B, K) bool: the edge's parent had Ld > 0
+    bkt_light: jnp.ndarray  # (B, K) bool: the diffuse spine hit an emitter
+    bkt_pspine: jnp.ndarray  # (B, K) bool: the edge's parent is itself a
+    #                          spine node of the enclosing bucket
+    bkt_open: jnp.ndarray   # (B, K) bool
 
 
-FLAG_DIFFUSE_NEE = 1
+FLAG_SPINE = 1
 
 
-def _push(state: WalkState, mask, org, dirn, weight, depth, pkind, pid, flags):
+def _push(state: WalkState, mask, org, dirn, weight, depth, pkind, pid,
+          flags, nb):
     """Pushes one entry on each masked lane's stack (drops on overflow —
     cannot happen for the reference's single-lobe materials within the
     default stack size)."""
@@ -127,6 +141,7 @@ def _push(state: WalkState, mask, org, dirn, weight, depth, pkind, pid, flags):
         st_pkind=jnp.where(onehot, pkind[:, None], state.st_pkind),
         st_pid=jnp.where(onehot, pid[:, None], state.st_pid),
         st_flags=jnp.where(onehot, flags[:, None], state.st_flags),
+        st_nb=jnp.where(onehot, nb[:, None], state.st_nb),
     )
 
 
@@ -141,11 +156,47 @@ def _pop(state: WalkState):
         pkind=state.st_pkind[b, idx],
         pid=state.st_pid[b, idx],
         flags=state.st_flags[b, idx],
+        nb=state.st_nb[b, idx],
     )
     active = state.sp > 0
     return state._replace(sp=jnp.maximum(state.sp - 1, 0),
                           rays=state.rays + active.astype(jnp.int32),
                           pops=state.pops + 1), entry, active
+
+
+def _close_buckets(state: WalkState, maxnb):
+    """Closes every open bucket at level >= the lane's current stack-top
+    bucket depth `maxnb` — at that point no pending entry can contribute to
+    the bucket's subtree, so the reference's post-order guard is decidable
+    (PathTracer.cpp:107-113): a killed bucket is discarded outright,
+    otherwise it flows into its enclosing accumulator, and its spine-light
+    flag propagates to the enclosing bucket when its parent was itself a
+    spine node (`return intersectedLight`, PathTracer.cpp:143)."""
+    k_levels = state.bkt_open.shape[1]
+    rgb = state.rgb
+    bkt_rgb, bkt_ld = state.bkt_rgb, state.bkt_ld
+    bkt_light, bkt_pspine = state.bkt_light, state.bkt_pspine
+    bkt_open = state.bkt_open
+    for k in range(k_levels - 1, -1, -1):
+        close = bkt_open[:, k] & (maxnb <= k)
+        killed = bkt_ld[:, k] & bkt_light[:, k]
+        flow = jnp.where((close & ~killed)[:, None], bkt_rgb[:, k], 0.0)
+        if k == 0:
+            rgb = rgb + flow
+        else:
+            bkt_rgb = bkt_rgb.at[:, k - 1].add(flow)
+            bkt_light = bkt_light.at[:, k - 1].set(
+                bkt_light[:, k - 1]
+                | (close & bkt_light[:, k] & bkt_pspine[:, k]))
+        bkt_rgb = bkt_rgb.at[:, k].set(
+            jnp.where(close[:, None], 0.0, bkt_rgb[:, k]))
+        bkt_light = bkt_light.at[:, k].set(jnp.where(close, False,
+                                                     bkt_light[:, k]))
+        bkt_ld = bkt_ld.at[:, k].set(jnp.where(close, False, bkt_ld[:, k]))
+        bkt_open = bkt_open.at[:, k].set(jnp.where(close, False,
+                                                   bkt_open[:, k]))
+    return state._replace(rgb=rgb, bkt_rgb=bkt_rgb, bkt_ld=bkt_ld,
+                          bkt_light=bkt_light, bkt_open=bkt_open)
 
 
 # ---------------------------------------------------------------------------
@@ -162,6 +213,8 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
     shader = config.shader
 
     zeros3 = jnp.zeros((b, 3), jnp.float32)
+    # Bucket slots only carry state for the PathTracer's post-order guard.
+    kb = config.depth_max if shader == C.SHADER_PATHTRACER else 1
     state = WalkState(
         sp=jnp.ones((b,), jnp.int32),
         st_org=jnp.zeros((b, s, 3), jnp.float32).at[:, 0].set(o),
@@ -171,9 +224,15 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         st_pkind=jnp.zeros((b, s), jnp.int32),
         st_pid=jnp.full((b, s), -1, jnp.int32),
         st_flags=jnp.zeros((b, s), jnp.int32),
+        st_nb=jnp.zeros((b, s), jnp.int32),
         rgb=zeros3,
         rays=jnp.zeros((b,), jnp.int32),
         pops=jnp.zeros((b,), jnp.int32),
+        bkt_rgb=jnp.zeros((b, kb, 3), jnp.float32),
+        bkt_ld=jnp.zeros((b, kb), bool),
+        bkt_light=jnp.zeros((b, kb), bool),
+        bkt_pspine=jnp.zeros((b, kb), bool),
+        bkt_open=jnp.zeros((b, kb), bool),
     )
 
     def step(state: WalkState, keys):
@@ -197,14 +256,11 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         live = hit_ok & in_depth
 
         node_keys = sampling.event_key(keys, it, 0)
+        zero_i = jnp.zeros((bb,), jnp.int32)
 
         # --- emission ----------------------------------------------------
         emit_w = live & emissive
-        if shader == C.SHADER_PATHTRACER:
-            # Forward NEE double-count guard (see module docstring).
-            guarded = (e["flags"] & FLAG_DIFFUSE_NEE) != 0
-            emit_w = emit_w & ~guarded
-        rgb = state.rgb + jnp.where(emit_w[:, None], e["weight"] * le, 0.0)
+        contrib = jnp.where(emit_w[:, None], e["weight"] * le, 0.0)
 
         cont = live & ~emissive  # non-emissive surface: shade + children
 
@@ -220,18 +276,38 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
             ld = kd * ld_sum / jnp.float32(config.samples_light)
             has_l = scene.lights.num > 0
             ld = jnp.where((diffuse & has_l)[:, None], ld, 0.0)
-            rgb = rgb + e["weight"] * ld
+            contrib = contrib + e["weight"] * ld
             state = state._replace(
                 rays=state.rays + jnp.where(diffuse, n_shadow, 0))
             if shader in (C.SHADER_WHITTED, C.SHADER_NOSHADOWS):
                 # Ambient term "rgb += kD * 0.1" (Whitted.cpp:91,
                 # NoShadows.cpp:46) — added whenever the surface is shaded.
-                rgb = rgb + jnp.where(cont[:, None],
-                                      e["weight"] * kd * C.WHITTED_AMBIENT, 0.0)
+                contrib = contrib + jnp.where(
+                    cont[:, None], e["weight"] * kd * C.WHITTED_AMBIENT, 0.0)
         else:
             ld = jnp.zeros((bb, 3), jnp.float32)
 
-        state = state._replace(rgb=rgb)
+        if shader == C.SHADER_PATHTRACER:
+            # Route this node's own terms to the innermost enclosing
+            # diffuse-edge bucket (or straight to the film when the node is
+            # outside every diffuse subtree).
+            kb = state.bkt_open.shape[1]
+            nb = e["nb"]
+            top = nb == 0
+            state = state._replace(
+                rgb=state.rgb + jnp.where(top[:, None], contrib, 0.0))
+            oh = ((jnp.arange(kb)[None, :] == (nb - 1)[:, None])
+                  & ~top[:, None])
+            state = state._replace(
+                bkt_rgb=state.bkt_rgb + jnp.where(oh[:, :, None],
+                                                  contrib[:, None, :], 0.0))
+            # An emissive hit on a diffuse spine flags the enclosing bucket:
+            # `intersectedLight` (PathTracer.cpp:30-33,102).
+            spine_emit = emit_w & ((e["flags"] & FLAG_SPINE) != 0) & ~top
+            state = state._replace(
+                bkt_light=state.bkt_light | (oh & spine_emit[:, None]))
+        else:
+            state = state._replace(rgb=state.rgb + contrib)
 
         if shader == C.SHADER_NOSHADOWS:
             return state, None  # no recursion
@@ -243,14 +319,14 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         spec = cont & common.has_positive(ks)
         rdir = common.reflect(e["dirn"], hit.normal)
         state = _push(state, spec, hit.point, rdir, e["weight"] * ks, depth1,
-                      hit.prim_kind, hit.prim_id, jnp.zeros((bb,), jnp.int32))
+                      hit.prim_kind, hit.prim_id, zero_i, e["nb"])
 
         # Specular transmission child (Whitted.cpp:82-90, PathTracer.cpp:127-135).
         trans = cont & common.has_positive(kt)
         tdir, tvalid = common.refract(e["dirn"], hit.normal, 1.0 / ior)
         state = _push(state, trans & tvalid, hit.point, tdir,
                       e["weight"] * kt, depth1, hit.prim_kind, hit.prim_id,
-                      jnp.zeros((bb,), jnp.int32))
+                      zero_i, e["nb"])
 
         if shader == C.SHADER_PATHTRACER:
             # Diffuse indirect child with Russian roulette
@@ -267,12 +343,32 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
             boost = jnp.where(e["depth"] > config.depth_min,
                               1.0 / ((1.0 - C.RR_FINISH_PROBABILITY) * 0.5), 1.0)
             w_ind = e["weight"] * kd * boost[:, None]
-            # Tag the edge when this vertex's NEE succeeded so emission
-            # double-counting is suppressed at the child.
+            # Open the edge's guard bucket at level nb (the child runs at
+            # nb + 1): remember whether this vertex's NEE succeeded and
+            # whether the vertex itself sits on the enclosing spine.
             nee_hit = common.has_positive(ld)
-            flags = jnp.where(nee_hit, FLAG_DIFFUSE_NEE, 0).astype(jnp.int32)
+            kb = state.bkt_open.shape[1]
+            ohb = ((jnp.arange(kb)[None, :] == e["nb"][:, None])
+                   & go_indirect[:, None])
+            state = state._replace(
+                bkt_open=state.bkt_open | ohb,
+                bkt_ld=jnp.where(ohb, nee_hit[:, None], state.bkt_ld),
+                bkt_light=jnp.where(ohb, False, state.bkt_light),
+                bkt_pspine=jnp.where(
+                    ohb, ((e["flags"] & FLAG_SPINE) != 0)[:, None],
+                    state.bkt_pspine),
+                bkt_rgb=jnp.where(ohb[:, :, None], 0.0, state.bkt_rgb))
+            flags = jnp.full((bb,), FLAG_SPINE, jnp.int32)
             state = _push(state, go_indirect, hit.point, ndir, w_ind, depth1,
-                          hit.prim_kind, hit.prim_id, flags)
+                          hit.prim_kind, hit.prim_id, flags, e["nb"] + 1)
+
+            # Close every bucket whose subtree just drained: the stack top's
+            # bucket depth is the number of still-pending levels.
+            bidx = jnp.arange(bb)
+            topnb = jnp.where(state.sp > 0,
+                              state.st_nb[bidx, jnp.maximum(state.sp - 1, 0)],
+                              0)
+            state = _close_buckets(state, topnb)
 
         return state, None
 
@@ -312,7 +408,12 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         # and event keys are lane-local (see WalkState.pops), so chunked
         # execution is bitwise-identical to the full-batch walk.
         state, _ = step(state, keys)
-        bc = max(unit, (b // 8 + unit - 1) // unit * unit)
+        # Chunk size: the PathTracer keeps ~every diffuse lane live after
+        # iteration 1 (indirect bounce), so large chunks amortize dispatch;
+        # Whitted/NoShadows tails carry only specular lanes — small chunks
+        # stop the tail from re-tracing mostly-dead batches.
+        div = 8 if shader == C.SHADER_PATHTRACER else 16
+        bc = max(unit, (b // div + unit - 1) // unit * unit)
         lanes = jnp.arange(b, dtype=jnp.int32)
         max_chunks = -(-b // bc) * max_iters
 
@@ -335,6 +436,12 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
             return it + 1, st
 
         _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
+    if shader == C.SHADER_PATHTRACER:
+        # Force-close any bucket left open (lanes truncated by the pops
+        # budget with pending stack entries): unresolved spines count as
+        # "did not reach a light", matching the reference's recursion which
+        # would have returned false past the depth cap.
+        state = _close_buckets(state, jnp.zeros((b,), jnp.int32))
     return state.rgb, jnp.sum(state.rays)
 
 

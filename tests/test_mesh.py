@@ -81,7 +81,7 @@ def test_gradient_matches_finite_differences():
     mat_idx, ch = 0, 0
 
     def loss_at(delta):
-        kd = scene.materials.kd.at[mat_idx, ch].add(delta)
+        kd = jnp.asarray(scene.materials.kd).at[mat_idx, ch].add(delta)
         s2 = scene.replace(materials=scene.materials.replace(kd=kd))
         img = render_frame(s2, cam, cfg, key)["image"]
         return float(jnp.mean((img.reshape(-1, 3) - target.reshape(-1, 3)) ** 2))

@@ -88,7 +88,7 @@ def test_any_hit_and_guard():
 def test_scene_dispatch_cornell():
     """Full-scene closest hit through the Pallas dispatch on a built-in
     scene (planes/spheres naive + triangles via the kernel)."""
-    scene, camera = scenes.load_builtin(1, 1.0)  # cornell2: 2 area lights
+    scene, camera = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)  # 2 area lights + planes
     scene_p = pallas_bvh.build(scene)
     b = 160
     rng = np.random.default_rng(5)
