@@ -33,6 +33,7 @@ from ..renderer import sample_pixels
 from ..types import Camera, Materials, RenderConfig, Scene
 
 RAY_AXIS = "rays"
+HOST_AXIS = "hosts"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -44,6 +45,41 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def distributed_init(coordinator_address: str, num_processes: int,
+                     process_id: int, **kwargs) -> None:
+    """Multi-host entry (SURVEY.md §2.6 "DCN for multi-host"): joins this
+    process to the jax.distributed runtime so `jax.devices()` returns the
+    GLOBAL device list and collectives ride DCN across hosts.  Call before
+    any other JAX API; then build the (hosts x chips) mesh with
+    `make_mesh_2d`."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+
+
+def make_mesh_2d(n_hosts: Optional[int] = None, devices=None) -> Mesh:
+    """2-D (hosts x chips) mesh: the leading axis maps one row per host
+    (DCN boundary), the trailing axis the chips within a host (ICI).
+    Pixel rows shard over BOTH axes; gradient psums reduce over both, so
+    XLA emits the hierarchical ICI-then-DCN all-reduce."""
+    if devices is None:
+        devices = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(jax.process_count(), 1)
+    per_host = len(devices) // n_hosts
+    arr = np.asarray(devices[:n_hosts * per_host]).reshape(n_hosts, per_host)
+    return Mesh(arr, (HOST_AXIS, RAY_AXIS))
+
+
+def _shard_spec(mesh: Mesh) -> P:
+    """Pixel rows sharded over every mesh axis (1-D or 2-D meshes)."""
+    return P(tuple(mesh.axis_names))
+
+
+def _all_axes(mesh: Mesh):
+    return tuple(mesh.axis_names)
 
 
 def _full_uv_grid(config: RenderConfig):
@@ -70,7 +106,8 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     u, v, pids = _full_uv_grid(config)
 
     replicated = P()
-    sharded = P(RAY_AXIS)
+    sharded = _shard_spec(mesh)
+    axes = _all_axes(mesh)
 
     def shard_fn(scene, camera, key, u, v, pids, max_point):
         def body(carry, s):
@@ -81,7 +118,7 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
         init = (jnp.zeros((u.shape[0], 3), jnp.float32), jnp.zeros((), jnp.int32))
         (accum, rays), _ = jax.lax.scan(body, init, jnp.arange(config.spp))
         # Ray counts are per-shard; reduce so every shard returns the total.
-        rays = jax.lax.psum(rays, RAY_AXIS)
+        rays = jax.lax.psum(rays, axes)
         return accum, rays
 
     if max_point is None:
@@ -151,6 +188,7 @@ def train_step_sharded(scene: Scene, camera: Camera, config: RenderConfig,
         max_point = jnp.ones((3,), jnp.float32)
 
     denom = float(w * h * 3)
+    axes = _all_axes(mesh)
 
     def shard_fn(params, scene, camera, key, target, u, v, pids, max_point):
         loss, grads = jax.value_and_grad(render_loss_fn)(
@@ -158,12 +196,13 @@ def train_step_sharded(scene: Scene, camera: Camera, config: RenderConfig,
         # Gradient all-reduce over the ray axis — the distributed-training
         # analogue the reference lacks entirely (SURVEY.md §2.6).
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, RAY_AXIS) / denom, grads)
-        loss = jax.lax.psum(loss, RAY_AXIS) / denom
+            lambda g: jax.lax.psum(g, axes) / denom, grads)
+        loss = jax.lax.psum(loss, axes) / denom
         return loss, grads
 
     rep = P()
-    sh = P(RAY_AXIS)
+    sh = _shard_spec(mesh)
+
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(rep, rep, rep, rep, sh, sh, sh, sh, rep),

@@ -47,3 +47,28 @@ def load_render_state(path: str) -> Tuple[jnp.ndarray, int, int,
              if k.startswith("extra_")}
     return (jnp.asarray(data["accum"]), int(data["sample"]),
             int(data["total_rays"]), config, extra)
+
+
+def save_opt_state(path: str, state, step: int, losses) -> None:
+    """Persists an optimization state pytree (params + optax state) plus
+    the step cursor and loss history as one .npz."""
+    leaves = jax.tree_util.tree_leaves(state)
+    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload["opt_step"] = np.asarray(step, np.int64)
+    payload["losses"] = np.asarray(losses, np.float64)
+    np.savez(path, **payload)
+
+
+def load_opt_state(path: str, template):
+    """Restores a state saved by save_opt_state; `template` provides the
+    pytree structure (a freshly-initialized state).  Returns
+    (state, step, losses) or None when no checkpoint exists."""
+    import os
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    treedef = jax.tree_util.tree_structure(template)
+    n = treedef.num_leaves
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, int(data["opt_step"]), list(data["losses"])

@@ -61,3 +61,11 @@ g++ -O3 -std=c++11 -w -DNDEBUG \
   -I"$REF" -I"$REF/System_dependent/Native" -Ishims \
   $SRCS -o build/refdriver -lpthread -lz
 echo "built refgold/build/refdriver"
+
+# Finite-difference gradient driver (no C_wrapper: builds cornellBox2
+# itself so one material channel can be perturbed before rendering).
+GRADSRCS=$(echo "$SRCS" | grep -v driver.cpp | grep -v C_wrapper.cpp)
+g++ -O3 -std=c++11 -w -DNDEBUG \
+  -I"$REF" -I"$REF/System_dependent/Native" -Ishims \
+  $GRADSRCS graddriver.cpp -o build/graddriver -lpthread -lz
+echo "built refgold/build/graddriver"

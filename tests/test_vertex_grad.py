@@ -1,0 +1,97 @@
+"""Vertex-position gradients incl. visibility terms (SURVEY.md §7 step 9,
+BASELINE.md config #5): edge-sampled boundary gradients validated on a
+one-triangle scene against (a) the analytic projected-area derivative and
+(b) central differences of jitter-averaged renders."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobileraytracer_tpu import constants as C
+from mobileraytracer_tpu.builder import SceneBuilder
+from mobileraytracer_tpu.cameras import CAMERA_PERSPECTIVE
+from mobileraytracer_tpu.diff import (factors_of_point, scene_with_vertices,
+                                      triangle_vertices, vertex_grad)
+from mobileraytracer_tpu.renderer import render_frame
+from mobileraytracer_tpu.types import RenderConfig, perspective_camera
+
+KD = (0.6, 0.3, 0.9)
+V0 = np.array([-0.4, -0.3, 0.0], np.float32)
+V1 = np.array([0.5, -0.2, 0.0], np.float32)
+V2 = np.array([0.0, 0.45, 0.0], np.float32)
+
+
+def _one_tri_scene():
+    b = SceneBuilder()
+    b.add_triangle(V0, V1, V2, b.add_material(kd=KD))
+    scene = jax.device_put(b.build())
+    cam = perspective_camera((0, 0, -3.0), (0, 0, 1), (0, 1, 0), 45.0, 45.0)
+    return scene, cam
+
+
+def test_boundary_gradient_matches_analytic_area_derivative():
+    """DiffuseMaterial renders the triangle as flat kd over black, so
+    loss = mean(kd) * (projected area in factor space); dL/dv must equal
+    mean(kd) * dA/dv — carried entirely by the boundary term."""
+    scene, cam = _one_tri_scene()
+    cfg = RenderConfig(width=64, height=64, spp=1, shader=C.SHADER_DIFFUSE,
+                       accelerator=C.ACC_NAIVE)
+    loss, grads = vertex_grad(scene, cam, cfg, jax.random.PRNGKey(0),
+                              edge_samples=32, edge_eps=5e-4)
+
+    c_mean = float(np.mean(KD))
+
+    def weighted_area(verts_flat):
+        """Quadrature of the pixel-density weight over the projected
+        triangle: the exact expectation of mean(image)/mean(kd)."""
+        from mobileraytracer_tpu.diff.geom import pixel_density
+        v = verts_flat.reshape(3, 3)
+        q = factors_of_point(cam, v)                    # (3, 2)
+        n = 128
+        i, j = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+        a = (i + 0.5) / n
+        bb = (j + 0.5) / n
+        inside = a + bb < 1.0
+        pts = (q[0] + a[..., None] * (q[1] - q[0])
+               + bb[..., None] * (q[2] - q[0]))
+        dens = pixel_density(cam, pts)
+        e1, e2 = q[1] - q[0], q[2] - q[0]
+        par = jnp.abs(e1[0] * e2[1] - e1[1] * e2[0])
+        return jnp.sum(jnp.where(inside, dens, 0.0)) * par / (n * n)
+
+    flat = jnp.concatenate([jnp.asarray(V0), jnp.asarray(V1),
+                            jnp.asarray(V2)])
+    dA = np.asarray(jax.grad(weighted_area)(flat)).reshape(3, 3)
+    expected = c_mean * dA
+
+    got = np.stack([np.asarray(grads["va"])[0],
+                    np.asarray(grads["vb"])[0],
+                    np.asarray(grads["vc"])[0]])
+    np.testing.assert_allclose(got, expected, rtol=0.03, atol=2e-4)
+
+
+def test_vertex_gradient_matches_finite_differences():
+    """Central differences of jitter-averaged renders (the image mean IS
+    the area integral in expectation) vs the edge-sampled gradient."""
+    scene, cam = _one_tri_scene()
+    cfg = RenderConfig(width=64, height=64, spp=4, shader=C.SHADER_DIFFUSE,
+                       accelerator=C.ACC_NAIVE)
+
+    _, grads = vertex_grad(scene, cam, cfg, jax.random.PRNGKey(0),
+                           edge_samples=32, edge_eps=5e-4)
+    ad = float(np.asarray(grads["va"])[0, 0])   # d loss / d v0.x
+
+    verts = triangle_vertices(scene.triangles)
+
+    @jax.jit
+    def mean_img(dx, key):
+        v2 = dict(verts)
+        v2["va"] = v2["va"].at[0, 0].add(dx)
+        s2 = scene_with_vertices(scene, v2)
+        return jnp.mean(render_frame(s2, cam, cfg, key)["image"])
+
+    eps = 2e-2
+    keys = [jax.random.PRNGKey(100 + i) for i in range(48)]
+    hi = np.mean([float(mean_img(+eps, k)) for k in keys])
+    lo = np.mean([float(mean_img(-eps, k)) for k in keys])
+    fd = (hi - lo) / (2 * eps)
+    assert abs(ad - fd) < max(0.12 * abs(fd), 2e-3), (ad, fd)
