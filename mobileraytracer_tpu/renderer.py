@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C
-from . import film, sampling
+from . import film, samplers, sampling
 from .cameras import generate_rays
 from .shaders.engine import trace_image_sample
 from .types import Camera, RenderConfig, Scene
@@ -78,10 +78,14 @@ def sample_pixels(scene: Scene, camera: Camera, config: RenderConfig,
             h3 = sampling.halton(jnp.full_like(pixel_ids, sample_idx), 3)
             r = jnp.stack([jnp.mod(h2 + off[:, 0], 1.0),
                            jnp.mod(h3 + off[:, 1], 1.0)], -1)
-        else:
+        elif config.pixel_sampler == "prng":
             jkeys = sampling.event_key(keys, 0, sampling.PURPOSE_PIXEL_JITTER)
             r = jax.vmap(
                 lambda k: jax.random.uniform(k, (2,), jnp.float32))(jkeys)
+        else:
+            # One of the reference's 8 sampler components (samplers.py).
+            r = samplers.pixel_jitter(config.pixel_sampler, base_key,
+                                      pixel_ids, sample_idx, w * h)
         # deviation = (r - 0.5) * 2 * (0.5 / size)  (Renderer.cpp:137-140)
         dev_u = (r[:, 0] - 0.5) * 2.0 * (0.5 / w)
         dev_v = (r[:, 1] - 0.5) * 2.0 * (0.5 / h)

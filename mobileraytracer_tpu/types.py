@@ -332,10 +332,11 @@ class RenderConfig:
     # pixel sampler to Constant(0.5) when spp <= 1
     # (reference app/System_dependent/Native/C_wrapper.cpp:144-148).
     pixel_jitter: Optional[bool] = None
-    # Pixel jitter stream: "prng" (counter-based keys) or "halton"
-    # (per-pixel Cranley-Patterson-rotated (2,3)-Halton — the deterministic
-    # low-discrepancy analogue of the reference's StaticHaltonSeq family,
-    # app/Components/Samplers/*.cpp).
+    # Pixel jitter stream: "prng" (counter-based keys), "halton"
+    # (per-pixel Cranley-Patterson-rotated (2,3)-Halton), or any of the
+    # reference's 8 sampler components by name — constant, stratified,
+    # haltonseq, mersenne, pcg, static_haltonseq, static_mersenne,
+    # static_pcg (samplers.py; reference app/Components/Samplers/*.cpp).
     pixel_sampler: str = "prng"
 
     def resolved_max_walk_iters(self) -> int:
