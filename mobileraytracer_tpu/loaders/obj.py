@@ -30,6 +30,7 @@ from ..builder import SceneBuilder
 from ..types import Scene
 from .mtl import MtlMaterial, parse_mtl_text
 from .native import parse_obj_text
+from .textures import TextureCache
 
 
 def _normalize_emission(e: np.ndarray) -> np.ndarray:
@@ -38,15 +39,8 @@ def _normalize_emission(e: np.ndarray) -> np.ndarray:
     return np.where(m > 1.0, e / np.maximum(m, 1e-30), e)
 
 
-def _load_texture(path: str) -> Optional[np.ndarray]:
-    try:
-        from PIL import Image
-    except ImportError:
-        return None
-    if not os.path.exists(path):
-        return None
-    img = Image.open(path).convert("RGB")
-    return np.asarray(img, np.float32) / 255.0
+# Texture decode lives in loaders/textures.py (in-memory + file factories
+# with the reference's throw-on-failure semantics, Texture.cpp:57-115).
 
 
 def load_obj_scene(obj_path: str, mtl_path: Optional[str] = None,
@@ -121,7 +115,7 @@ def load_obj_scene_ex(obj_path: str, mtl_path: Optional[str] = None,
     # Per-slot material resolution.
     slots = parsed.mat_names
     slot_fields = []
-    tex_cache: Dict[str, int] = {}
+    tex_cache = TextureCache(base_dir)
     for name in slots:
         m = mtl.get(name, MtlMaterial())
         kd = np.asarray(m.diffuse, np.float32)
@@ -130,11 +124,7 @@ def load_obj_scene_ex(obj_path: str, mtl_path: Optional[str] = None,
         le = _normalize_emission(np.asarray(m.emission, np.float32))
         tex_id = -1
         if m.diffuse_texname and len(parsed.texcoords):
-            if m.diffuse_texname not in tex_cache:
-                img = _load_texture(os.path.join(base_dir, m.diffuse_texname))
-                tex_cache[m.diffuse_texname] = (
-                    b.add_texture(img) if img is not None else -1)
-            tex_id = tex_cache[m.diffuse_texname]
+            tex_id = tex_cache.get_id(b, m.diffuse_texname)
         slot_fields.append((kd, ks, kt, np.float32(m.ior), le, tex_id))
     # Default material for faces without usemtl: white diffuse (tinyobj
     # fills per-vertex colors with 1; OBJLoader.cpp:421-433).
