@@ -44,13 +44,16 @@ def _normalize_emission(e: np.ndarray) -> np.ndarray:
 
 
 def load_obj_scene(obj_path: str, mtl_path: Optional[str] = None,
-                   builder: Optional[SceneBuilder] = None) -> Scene:
-    scene, _ = load_obj_scene_ex(obj_path, mtl_path, builder)
+                   builder: Optional[SceneBuilder] = None,
+                   strict_textures: bool = True) -> Scene:
+    scene, _ = load_obj_scene_ex(obj_path, mtl_path, builder,
+                                 strict_textures=strict_textures)
     return scene
 
 
 def load_obj_scene_ex(obj_path: str, mtl_path: Optional[str] = None,
-                      builder: Optional[SceneBuilder] = None
+                      builder: Optional[SceneBuilder] = None,
+                      strict_textures: bool = True
                       ) -> Tuple[Scene, dict]:
     with open(obj_path, "rb") as f:
         parsed = parse_obj_text(f.read())
@@ -115,7 +118,11 @@ def load_obj_scene_ex(obj_path: str, mtl_path: Optional[str] = None,
     # Per-slot material resolution.
     slots = parsed.mat_names
     slot_fields = []
-    tex_cache = TextureCache(base_dir)
+    # Reference semantics: a missing/corrupt diffuse texture aborts the
+    # scene load (Texture::createTexture throws, propagated by
+    # OBJLoader::getTextureFromCache, OBJLoader.cpp:224-271).  Callers opt
+    # into best-effort loading with strict_textures=False.
+    tex_cache = TextureCache(base_dir, strict=strict_textures)
     for name in slots:
         m = mtl.get(name, MtlMaterial())
         kd = np.asarray(m.diffuse, np.float32)

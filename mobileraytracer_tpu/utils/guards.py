@@ -108,7 +108,7 @@ def device_oom_guard():
         yield
     except Exception as e:  # XlaRuntimeError has no stable import path
         msg = str(e)
-        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg.lower():
+        if "RESOURCE_EXHAUSTED" not in msg and "out of memory" not in msg.lower():
             raise
         stats = {}
         try:
