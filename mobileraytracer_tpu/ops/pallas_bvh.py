@@ -82,11 +82,18 @@ class PallasGrid:
     # Packed triangle blocks: rows 0-2 point_a xyz, 3-5 ab, 6-8 ac,
     # 9 validity (1.0/0.0), 10 global triangle slot id per lane.
     tb: jnp.ndarray           # (NB, 16, LANES) f32, NB = K1 * BPS
+    # Pre-packed Baldwin-Weber matmul operand per block for the MXU tile
+    # kernel (layout documented in build_blocks).
+    tw: jnp.ndarray           # (NB, 8, 3 * LANES) f32
     # Packed per-triangle shading attributes for the hit fill (layout in
     # intersect._fill_hit's docstring); aligned to the reordered triangles.
     tri_attr: jnp.ndarray     # (N, 32) f32
     top_s: int = struct.field(pytree_node=False, default=DEFAULT_TOP_S)
     top_m: int = struct.field(pytree_node=False, default=DEFAULT_TOP_M)
+    # Global absolute t-margin for the MXU tile kernel's loose acceptance
+    # and early-exit tests (covers the Baldwin-Weber error bound at the
+    # largest block in the scene).
+    t_margin: float = struct.field(pytree_node=False, default=1e-3)
 
     @property
     def num_supers(self) -> int:
@@ -139,7 +146,41 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
     ab = np.asarray(tris2.ab)
     ac = np.asarray(tris2.ac)
     va = np.asarray(tris2.valid).astype(np.float32)
+
+    # Baldwin-Weber precomputed-triangle rows (per-triangle, f64
+    # precompute, global frame): the intersection becomes an affine form
+    # evaluable as one MXU contraction per (ray tile, block) pair — see
+    # _make_tile_kernel.
+    #   n_hat : unit plane normal;   dist(X) = n_hat . X + d_n
+    #   w_u   : barycentric-u gradient (w_u.ab = 1, w_u.ac = 0, w_u.n = 0)
+    #   w_v   : barycentric-v gradient (symmetric)
+    # The affine evaluation carries catastrophic cancellation at the scene
+    # -coordinate scale (the precompute folds the `o - pa` subtraction
+    # into the contraction, unlike Moller-Trumbore), so its absolute error
+    # is O(ulp * scene extent) — covered by the margins in the kernel's
+    # loose acceptance, with the exact Moller-Trumbore refine making the
+    # final decision (see the tile-kernel header comment).
+    pa64, ab64, ac64 = (pa.astype(np.float64), ab.astype(np.float64),
+                        ac.astype(np.float64))
+    n_vec = np.cross(ab64, ac64)
+    n_sq = np.einsum("ij,ij->i", n_vec, n_vec)
+    n_hat = n_vec / np.maximum(np.sqrt(np.maximum(n_sq, 1e-300)), 1e-150)[:, None]
+    inv_nsq = 1.0 / np.maximum(n_sq, 1e-300)
+    w_u = np.cross(ac64, n_vec) * inv_nsq[:, None]
+    w_v = np.cross(n_vec, ab64) * inv_nsq[:, None]
+    d_n = -np.einsum("ij,ij->i", n_hat, pa64)
+    c_u = -np.einsum("ij,ij->i", w_u, pa64)
+    c_v = -np.einsum("ij,ij->i", w_v, pa64)
+
     tb = np.zeros((padded, 16, lanes), np.float32)
+    # The tile kernel's DMA unit: the (8, 3*lanes) Baldwin-Weber matmul
+    # operand, pre-packed so the kernel contracts the block as-loaded —
+    # rows 0-2 the three affine row-vectors per column group
+    # [n_hat | w_u | w_v], row 3 their offsets [d_n | c_u | c_v], row 4
+    # per-lane metadata (valid, slot, block center+diag), rows 5-7 zero.
+    # Rows 4-7 may hold anything: the ray matrix has zeros in columns 4-7,
+    # so they never reach the contraction.
+    tw = np.zeros((padded, 8, 3 * lanes), np.float32)
     bf = bfirst_p.reshape(-1)
     bc = bcount_p.reshape(-1)
     for bi in range(padded):
@@ -147,14 +188,25 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         if cnt == 0:
             continue
         f0 = int(bf[bi])
-        tb[bi, 0:3, :cnt] = pa[f0:f0 + cnt].T
-        tb[bi, 3:6, :cnt] = ab[f0:f0 + cnt].T
-        tb[bi, 6:9, :cnt] = ac[f0:f0 + cnt].T
-        tb[bi, 9, :cnt] = va[f0:f0 + cnt]
+        sl = slice(f0, f0 + cnt)
+        tb[bi, 0:3, :cnt] = pa[sl].T
+        tb[bi, 3:6, :cnt] = ab[sl].T
+        tb[bi, 6:9, :cnt] = ac[sl].T
+        tb[bi, 9, :cnt] = va[sl]
         # Row 10: per-lane global triangle slot id (f32 exact to 2^24) —
         # the banded kernel reads hit ids straight from the block instead
         # of fetching per-round `first` offsets.
         tb[bi, 10, :cnt] = np.arange(f0, f0 + cnt, dtype=np.float32)
+        # Baldwin-Weber affine rows.
+        tw[bi, 0:3, :cnt] = n_hat[sl].T
+        tw[bi, 3, :cnt] = d_n[sl]
+        tw[bi, 0:3, lanes:lanes + cnt] = w_u[sl].T
+        tw[bi, 3, lanes:lanes + cnt] = c_u[sl]
+        tw[bi, 0:3, 2 * lanes:2 * lanes + cnt] = w_v[sl].T
+        tw[bi, 3, 2 * lanes:2 * lanes + cnt] = c_v[sl]
+        tw[bi, 4, :cnt] = va[sl]
+        tw[bi, 4, lanes:lanes + cnt] = np.arange(f0, f0 + cnt,
+                                                 dtype=np.float32)
 
     packed = np.zeros((k1, 8, bps), np.float32)
     packed[:, 0:3] = np.moveaxis(bmin_p, 2, 1)
@@ -180,9 +232,14 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         super_hi=bmax_p.max(1).T.copy(),
         blocks_packed=packed.reshape(k1, 8 * bps),
         tb=tb,
+        tw=tw,
         tri_attr=attr,
         top_s=min(top_s, k1),
         top_m=min(top_m, k1 * bps),
+        # Absolute t-margin covering the Baldwin-Weber evaluation error
+        # (O(ulp) at scene-extent scale; ~8x slack over the 2-ulp bound).
+        t_margin=float(max(1e-6, 2e-6 * float(
+            np.linalg.norm(bmax.max(0) - bmin.min(0))))) if k else 1e-6,
     )
     return tris2, grid
 
@@ -192,14 +249,15 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
 # blocks in entry order — same phases A/B as ops/block_bvh.py.
 # ---------------------------------------------------------------------------
 
-def _subtile_intervals(o, inv_d, nt):
-    """Per-axis per-subtile [min, max] of origin and reciprocal direction,
+def _subtile_intervals(o, inv_d, nt, st=ST):
+    """Per-axis per-bundle [min, max] of origin and reciprocal direction,
     each a (nt, 1) array; the ray-bundle intervals driving the conservative
-    slab bounds."""
+    slab bounds.  `st` = rays per bundle (ST subtiles for the banded
+    kernel, TILE for the MXU tile kernel)."""
     out = []
     for a in range(3):
-        oa = o[:, a].reshape(nt, ST)
-        ia = inv_d[:, a].reshape(nt, ST)
+        oa = o[:, a].reshape(nt, st)
+        ia = inv_d[:, a].reshape(nt, st)
         out.append((jnp.min(oa, 1)[:, None], jnp.max(oa, 1)[:, None],
                     jnp.min(ia, 1)[:, None], jnp.max(ia, 1)[:, None]))
     return out
@@ -258,8 +316,9 @@ def _interval_entry_lb(ivals, lo_hi, with_ub=False):
     return jnp.where(certain_miss, jnp.inf, lb)
 
 
-def _candidates(grid: PallasGrid, o, d, cap=None, floor=None):
-    """One *window* of candidate blocks per ST-ray subtile (two-level:
+def _candidates(grid: PallasGrid, o, d, cap=None, floor=None, st=ST,
+                top_s=None, top_m=None):
+    """One *window* of candidate blocks per `st`-ray bundle (two-level:
     super culling then per-block bounds).
 
     Returns (cand_gid, cand_first, cand_entry, cut): the top_m candidate
@@ -276,10 +335,10 @@ def _candidates(grid: PallasGrid, o, d, cap=None, floor=None):
     (BVH.hpp:327-384) in fixed-shape passes.
     """
     b = o.shape[0]
-    nt = b // ST
+    nt = b // st
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
                             jnp.where(d < 0, -1e-30, 1e-30), d)
-    ivals = _subtile_intervals(o, inv_d, nt)
+    ivals = _subtile_intervals(o, inv_d, nt, st)
 
     # Phase A: conservative per-subtile super entries via the same interval
     # bounds (16x less work than per-ray slab + reduce).
@@ -294,7 +353,7 @@ def _candidates(grid: PallasGrid, o, d, cap=None, floor=None):
         # windows, so free its phase-A slot for farther supers (without
         # this, rays crossing > top_s supers would stall at sup_cut).
         e_super_t = jnp.where(ub_super < floor[:, None], jnp.inf, e_super_t)
-    s = grid.top_s
+    s = min(top_s if top_s is not None else grid.top_s, grid.num_supers)
     neg_s, sup_ids = jax.lax.top_k(-e_super_t, s)
     e_sel = -neg_s
     sup_ok = jnp.isfinite(e_sel)
@@ -327,7 +386,7 @@ def _candidates(grid: PallasGrid, o, d, cap=None, floor=None):
         # split ties); duplicates only re-confirm t_best.
         lb = jnp.where(lb < floor[:, None], jnp.inf, lb)
 
-    m = min(grid.top_m, nc)
+    m = min(top_m if top_m is not None else grid.top_m, nc)
     neg_lb, cand = jax.lax.top_k(-lb, m)                           # (nt, m)
     cand_entry = -neg_lb
     window_full = jnp.isfinite(cand_entry[:, -1])
@@ -540,78 +599,35 @@ def _traverse_padded(tb, cand_gid, cand_entry, rays,
     return t, sid, steps
 
 
-def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
-             prev_id, any_hit: bool = False, with_steps: bool = False):
-    """Closest-hit (or any-hit) over the triangle set.  Returns
-    (t_best (B,), best_id (B,) int32 with -1 for miss)[, steps (B,)]."""
-    b = o.shape[0]
-    # Host-numpy tables must become device arrays before the refill
-    # while_loop traces over them.
-    grid = jax.tree.map(jnp.asarray, grid)
-    t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
-    unit = GROUP * ST
-    bp = -(-b // unit) * unit
-    pad = bp - b
+def _banded_balanced(grid, cg, ce, rays_in, m, any_hit, interp):
+    """Runs the banded kernel with subtiles sorted by candidate count: the
+    8 lockstep bands of each program get near-equal walks, so rounds per
+    program drop from the max-band count to ~the mean (measured 13 -> ~6 on
+    NEE shadow batches).  Outputs are scattered back to the caller's
+    subtile order."""
+    ntk = cg.shape[0]
+    counts = jnp.sum(ce < _BIG * 0.5, axis=1)
+    order = jnp.argsort(counts)
+    lanes_p = (order[:, None] * ST
+               + jnp.arange(ST, dtype=jnp.int32)[None, :]).reshape(-1)
+    tp, sp, stp = _traverse_padded(grid.tb, cg[order], ce[order],
+                                   rays_in[lanes_p], m, any_hit, interp)
+    t_out = jnp.zeros((ntk * ST,), jnp.float32).at[lanes_p].set(tp[:, 0])
+    s_out = jnp.zeros((ntk * ST,), jnp.float32).at[lanes_p].set(sp[:, 0])
+    st_out = jnp.zeros((ntk * ST,), jnp.float32).at[lanes_p].set(stp[:, 0])
+    return t_out, s_out, st_out
 
-    guard = prev_kind == C.PRIM_TRIANGLE
-    prev_f = jnp.where(guard, prev_id, -1).astype(jnp.float32)
-    rays = jnp.concatenate(
-        [o, d, t0[:, None], prev_f[:, None]], axis=1)        # (B, 8)
-    if pad:
-        filler = jnp.zeros((pad, 8), jnp.float32).at[:, 3].set(1.0)
-        rays = jnp.concatenate([rays, filler], 0)
 
-    op, dp = rays[:, 0:3], rays[:, 3:6]
-    nt0 = rays.shape[0] // ST
-    # Cap window 1 at each subtile's worst t_init: for shadow segments this
-    # drops every block beyond the light outright (and resolves the subtile
-    # in one window far more often).
-    cap0 = jnp.max(rays[:, 6].reshape(nt0, ST), axis=1)
-    cand_gid, cand_first, cand_entry, cut = _candidates(grid, op, dp,
-                                                        cap=cap0)
-    m = cand_gid.shape[1]
-    interp = _interpret()
-
-    def balanced_kernel(cg, ce, rays_in, m):
-        """Runs the kernel with subtiles sorted by candidate count: the 8
-        lockstep bands of each program get near-equal walks, so rounds per
-        program drop from the max-band count to ~the mean (measured 13 ->
-        ~6 on NEE shadow batches).  Outputs are scattered back to the
-        caller's subtile order."""
-        ntk = cg.shape[0]
-        counts = jnp.sum(ce < _BIG * 0.5, axis=1)
-        order = jnp.argsort(counts)
-        lanes_p = (order[:, None] * ST
-                   + jnp.arange(ST, dtype=jnp.int32)[None, :]).reshape(-1)
-        tp, sp, stp = _traverse_padded(grid.tb, cg[order], ce[order],
-                                       rays_in[lanes_p], m, any_hit, interp)
-        t_out = jnp.zeros((ntk * ST,), jnp.float32).at[lanes_p].set(tp[:, 0])
-        s_out = jnp.zeros((ntk * ST,), jnp.float32).at[lanes_p].set(sp[:, 0])
-        st_out = jnp.zeros((ntk * ST,), jnp.float32).at[lanes_p].set(
-            stp[:, 0])
-        return t_out, s_out, st_out
-
-    t, sid, steps = balanced_kernel(cand_gid, cand_entry, rays, m)
-    nt = bp // ST
-
-    # Per-ray resolution (soundness): window 1 listed EVERY block whose
-    # conservative entry bound is below `cut`, so a ray whose current best
-    # t is <= its subtile's cutoff provably cannot be improved by any
-    # unlisted block — exact without any visit budget, the reference's
-    # unbudgeted stack-walk contract (BVH.hpp:327-384).  floor_r records,
-    # per ray, the entry bound below which every block has been visited.
-    floor_r = jnp.repeat(cut, ST)
-    floor_r = jnp.where(jnp.arange(bp) >= b, _BIG, floor_r)  # filler lanes
-
-    # Refill — rays left unresolved by the pixel-order window (typically
-    # <2%: subtiles spanning depth edges get interval hulls covering half
-    # the scene, plus genuinely long candidate lists) are gathered and
-    # DUPLICATED ST-fold so each occupies a whole subtile: the interval
-    # hull of ST identical rays collapses to the ray's exact slab bounds,
-    # making the next window both tight (candidates = blocks the ray truly
-    # crosses) and sound to floor-window per ray (fixed membership).  The
-    # stall counter force-resolves a pathological tail (bit-identical
-    # entry ties wider than a window) instead of looping.
+def _refill_exact(grid, rays, t, sid, floor_r, any_hit, interp, bp):
+    """Per-ray exact windowed refill (shared by the banded and tile
+    traversals).  Rays with floor_r < t are unresolved: they are gathered
+    and DUPLICATED ST-fold so each occupies a whole subtile — the interval
+    hull of ST identical rays collapses to the ray's exact slab bounds,
+    making the next window both tight (candidates = blocks the ray truly
+    crosses) and sound to floor-window per ray (fixed membership).  The
+    stall counter force-resolves a pathological tail (bit-identical entry
+    ties wider than a window) instead of looping.  Returns (t, sid)."""
+    m = min(grid.top_m, min(grid.top_s, grid.num_supers) * grid.bps)
     nr = max(GROUP, min(2048, bp // ST // 4))
     rrange = jnp.arange(bp, dtype=jnp.int32)
 
@@ -631,7 +647,8 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
         cg, cf, ce, cut2 = _candidates(grid, rays_c[:, 0:3],
                                        rays_c[:, 3:6], cap=t[ridx],
                                        floor=floor_r[ridx])
-        t2, s2, _ = balanced_kernel(cg, ce, rays_c, m)
+        t2, s2, _ = _banded_balanced(grid, cg, ce, rays_c, m, any_hit,
+                                     interp)
         t2 = t2.reshape(nr, ST)[:, 0]                    # (nr,) per ray
         s2 = s2.reshape(nr, ST)[:, 0]
         better = t2 < t[ridx]
@@ -646,6 +663,60 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     _, t, sid, _, _ = jax.lax.while_loop(
         refill_cond, refill_body,
         (jnp.int32(0), t, sid, floor_r, jnp.int32(0)))
+    return t, sid
+
+
+def _pack_rays(o, d, t0, prev_kind, prev_id, unit):
+    """(B, 8) ray rows [o, d, t_init, prev_triangle_slot] padded to a
+    `unit` multiple with inert +x filler rays (t_init 0)."""
+    b = o.shape[0]
+    guard = prev_kind == C.PRIM_TRIANGLE
+    prev_f = jnp.where(guard, prev_id, -1).astype(jnp.float32)
+    rays = jnp.concatenate(
+        [o, d, t0[:, None], prev_f[:, None]], axis=1)        # (B, 8)
+    bp = -(-b // unit) * unit
+    if bp - b:
+        filler = jnp.zeros((bp - b, 8), jnp.float32).at[:, 3].set(1.0)
+        rays = jnp.concatenate([rays, filler], 0)
+    return rays, bp
+
+
+def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
+             prev_id, any_hit: bool = False, with_steps: bool = False):
+    """Closest-hit (or any-hit) over the triangle set via the banded
+    subtile kernel.  Returns (t_best (B,), best_id (B,) int32 with -1 for
+    miss)[, steps (B,)]."""
+    b = o.shape[0]
+    # Host-numpy tables must become device arrays before the refill
+    # while_loop traces over them.
+    grid = jax.tree.map(jnp.asarray, grid)
+    t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
+    rays, bp = _pack_rays(o, d, t0, prev_kind, prev_id, GROUP * ST)
+
+    op, dp = rays[:, 0:3], rays[:, 3:6]
+    nt0 = rays.shape[0] // ST
+    # Cap window 1 at each subtile's worst t_init: for shadow segments this
+    # drops every block beyond the light outright (and resolves the subtile
+    # in one window far more often).
+    cap0 = jnp.max(rays[:, 6].reshape(nt0, ST), axis=1)
+    cand_gid, cand_first, cand_entry, cut = _candidates(grid, op, dp,
+                                                        cap=cap0)
+    m = cand_gid.shape[1]
+    interp = _interpret()
+
+    t, sid, steps = _banded_balanced(grid, cand_gid, cand_entry, rays, m,
+                                     any_hit, interp)
+
+    # Per-ray resolution (soundness): window 1 listed EVERY block whose
+    # conservative entry bound is below `cut`, so a ray whose current best
+    # t is <= its subtile's cutoff provably cannot be improved by any
+    # unlisted block — exact without any visit budget, the reference's
+    # unbudgeted stack-walk contract (BVH.hpp:327-384).  floor_r records,
+    # per ray, the entry bound below which every block has been visited.
+    floor_r = jnp.repeat(cut, ST)
+    floor_r = jnp.where(jnp.arange(bp) >= b, _BIG, floor_r)  # filler lanes
+
+    t, sid = _refill_exact(grid, rays, t, sid, floor_r, any_hit, interp, bp)
 
     t = t[:b]
     sid = sid[:b]
@@ -654,6 +725,507 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     if with_steps:
         return out + (steps[:b],)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MXU tile traversal: Baldwin-Weber contraction kernel.
+#
+# The banded kernel above keeps the hot loop on the VPU (a dense
+# Moller-Trumbore per 16-ray subtile band) and pays 8 block DMAs + 8
+# scalar exit tests per round.  This kernel restructures the walk at
+# 128-ray TILE granularity so each round is ONE block DMA plus ONE MXU
+# contraction: with per-triangle Baldwin-Weber rows [n_hat|d_n],
+# [w_u|c_u], [w_v|c_v] (precomputed in build_blocks, block-local frame),
+# the six per-pair dot products {o,d}x{n,u,v} come out of a single
+# (2*TILE, 8) x (8, 3*LANES) matmul, and the VPU epilogue is ~15 ops:
+#     t = -(n.o' + d_n) / (n.d);  u = u_o + t*u_d;  v = v_o + t*v_d
+# (the matmul evaluates the same plane/barycentric forms the reference
+# derives per pair in Triangle.cpp:63-109 — Baldwin & Weber 2016 is the
+# classic precomputed formulation).
+#
+# EXACTNESS: the contraction is approximate (f32-via-bf16 passes +
+# catastrophic cancellation bounded by the block-local frame), so the
+# kernel only *selects*: it keeps each ray's two nearest loose-accepted
+# candidates (acceptance widened by margins that provably cover the BW
+# error), counts how many candidates land within the error window of the
+# best, and (for shadows) splits acceptance into strict/ambiguous.
+# Outside the kernel the kept candidates are re-tested with the exact f32
+# Moller-Trumbore (bit-equal to the naive oracle); rays whose count
+# overflows the kept set, or whose kept candidate fails the exact test
+# while mattering, are *flagged* and re-walked from scratch by the exact
+# banded refill.  Unflagged rays are provably exact: every pair that
+# could beat the kept winner lies within the margin window, and the
+# window never held more than the two kept candidates.
+# ---------------------------------------------------------------------------
+
+TILE = GROUP * ST        # rays per tile program
+TILE_TOP_S = 48          # candidate supers per tile window
+TILE_TOP_M = 64          # candidate blocks per tile window
+_MU = 2e-3               # barycentric loose/strict margin
+_TREL = 3e-4             # relative t margin (BW-vs-exact error bound)
+
+
+def _make_tile_kernel(m: int, any_hit: bool, tmg: float):
+    """One program = one TILE of rays advancing through its candidate
+    list; round r = DMA wait on block r (pipelined _PIPE deep) + one MXU
+    Baldwin-Weber contraction + top-2/strict/count bookkeeping."""
+    depth = min(_PIPE, m)
+    nslots = depth + 1
+    big2 = _BIG * 2.0
+
+    def kernel(gid_ref, entry_ref, rays_ref, tb_ref, out_ref, scratch, sem):
+        rays = rays_ref[:]                               # (TILE, 8)
+        o3 = rays[:, 0:3]
+        d3 = rays[:, 3:6]
+        cap = rays[:, 6:7]                               # (TILE, 1)
+        prev = rays[:, 7:8]
+        # The (2*TILE, 8) ray matrix: rows 0..TILE-1 = [o, 1, 0...] (the
+        # affine evaluation point), rows TILE.. = [d, 0, 0...] (the
+        # direction part); columns 4-7 are zero so the operand's metadata
+        # rows never reach the contraction.
+        zer4 = jnp.zeros((TILE, 4), jnp.float32)
+        a_o = jnp.concatenate(
+            [o3, jnp.ones((TILE, 1), jnp.float32), zer4], axis=1)
+        a_d = jnp.concatenate(
+            [d3, jnp.zeros((TILE, 5), jnp.float32)], axis=1)
+        a = jnp.concatenate([a_o, a_d], axis=0)          # (2*TILE, 8)
+
+        def start(r):
+            sl = jax.lax.rem(r, nslots)
+            pltpu.make_async_copy(tb_ref.at[gid_ref[0, 0, r]],
+                                  scratch.at[sl], sem.at[sl]).start()
+
+        for j in range(depth):
+            start(jnp.int32(j))
+
+        def cond(carry):
+            return carry[-1]
+
+        def body(carry):
+            r, t1, s1, t2, s2, t3, ts_m, ts_s, alive = carry
+            sl = jax.lax.rem(r, nslots)
+            pltpu.make_async_copy(tb_ref.at[gid_ref[0, 0, r]],
+                                  scratch.at[sl], sem.at[sl]).wait()
+
+            @pl.when(r + depth < m)
+            def _():
+                start(r + depth)
+
+            tr = scratch[sl]                             # (8, 3*LANES)
+            ln = LANES
+            # HIGHEST = full f32 MXU passes (Mosaic supports only DEFAULT
+            # -- 1-pass bf16, far outside the margins at scene scale --
+            # and HIGHEST).
+            dots = jax.lax.dot_general(
+                a, tr[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (2*TILE, 3*LANES)
+            no, uo, vo = (dots[0:TILE, 0:ln], dots[0:TILE, ln:2 * ln],
+                          dots[0:TILE, 2 * ln:3 * ln])
+            nd, ud, vd = (dots[TILE:, 0:ln], dots[TILE:, ln:2 * ln],
+                          dots[TILE:, 2 * ln:3 * ln])
+            inv_nd = 1.0 / jnp.where(jnp.abs(nd) < 0.5 * C.EPSILON, 1.0, nd)
+            t = -no * inv_nd
+            u = uo + t * ud
+            v = vo + t * vd
+            tvalid = tr[4:5, 0:ln] > 0.5
+            slot_b = jnp.broadcast_to(tr[4:5, ln:2 * ln], t.shape)
+            base = tvalid & (slot_b != prev)
+            loose = (base & (jnp.abs(nd) >= 0.5 * C.EPSILON)
+                     & (u >= -_MU) & (v >= -_MU) & (u + v <= 1.0 + _MU)
+                     & (t >= C.EPSILON - tmg)
+                     & (t <= cap * (1.0 + _TREL) + tmg))
+            # Strict acceptance = margins negated: the pair provably
+            # passes the exact test, so its t (+error) is a SOUND upper
+            # bound on the exact winner.  Only strict hits may drive the
+            # early exit — a loose-only accept can be an artifact (e.g. a
+            # coplanar surface through the ray origin evaluating to t=-0)
+            # and must never truncate the walk.
+            strict = (base & (jnp.abs(nd) >= 1.5 * C.EPSILON)
+                      & (u >= _MU) & (v >= _MU) & (u + v <= 1.0 - _MU)
+                      & (t >= C.EPSILON + tmg)
+                      & (t <= cap * (1.0 - _TREL) - tmg))
+            tstr = jnp.where(strict, t, big2)
+            mo = jnp.min(tstr, axis=1, keepdims=True)
+            so = jnp.min(jnp.where(tstr <= mo, slot_b, big2), axis=1,
+                         keepdims=True)
+            better_o = mo < ts_m
+            ts_m = jnp.where(better_o, mo, ts_m)
+            ts_s = jnp.where(better_o & (mo < _BIG), so, ts_s)
+
+            # Kept candidates: for shadows only the ambiguous pairs need
+            # the exact re-test (strict ones already decide occlusion);
+            # for closest-hit every loose pair competes for the top-2.
+            track = (loose & ~strict) if any_hit else loose
+
+            # Round top-3 by t (slots only for the top-2: the third-best t
+            # value drives the displacement flag, never the refine).
+            tl = jnp.where(track, t, big2)
+            m1 = jnp.min(tl, axis=1, keepdims=True)
+            sl1 = jnp.min(jnp.where(tl <= m1, slot_b, big2), axis=1,
+                          keepdims=True)
+            sl1 = jnp.where(m1 < _BIG, sl1, -1.0)
+            tl2 = jnp.where(slot_b == sl1, big2, tl)
+            m2 = jnp.min(tl2, axis=1, keepdims=True)
+            sl2 = jnp.min(jnp.where(tl2 <= m2, slot_b, big2), axis=1,
+                          keepdims=True)
+            m3 = jnp.min(jnp.where((slot_b == sl2) & (tl2 <= m2), big2, tl2),
+                         axis=1, keepdims=True)
+            sl2 = jnp.where(m2 < _BIG, sl2, -1.0)
+
+            # Merge the round's sorted triple into the running sorted
+            # triple (slots carried for the first two).
+            take1 = m1 < t1
+            n_t1 = jnp.where(take1, m1, t1)
+            n_s1 = jnp.where(take1, sl1, s1)
+            o_t = jnp.where(take1, t1, m1)
+            o_s = jnp.where(take1, s1, sl1)
+            a_t = jnp.where(take1, m2, t2)
+            a_s = jnp.where(take1, sl2, s2)
+            take2 = a_t < o_t
+            # 3rd smallest of two sorted triples:
+            # min(max(t1,m2), max(t2,m1), t3, m3).
+            n_t3 = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1, m2), jnp.maximum(t2, m1)),
+                jnp.minimum(t3, m3))
+            t1, s1 = n_t1, n_s1
+            t2 = jnp.where(take2, a_t, o_t)
+            s2 = jnp.where(take2, a_s, o_s)
+            t3 = n_t3
+
+            if any_hit:
+                bound = jnp.where(ts_m < _BIG, -big2, cap)
+            else:
+                # Sound per-ray upper bound on the exact winner: the best
+                # strict hit (+ its error margin), else the cap.
+                bound = jnp.minimum(ts_m * (1.0 + _TREL) + tmg, cap)
+            t_worst = jnp.max(bound)
+            nxt_idx = jnp.minimum(r + 1, m - 1)
+            past = r + 1 >= m
+            done = past | (entry_ref[0, 0, nxt_idx] >= t_worst)
+            return (r + 1, t1, s1, t2, s2, t3, ts_m, ts_s, ~done)
+
+        shp = (TILE, 1)
+        init = (jnp.int32(0),
+                jnp.full(shp, big2, jnp.float32),
+                jnp.full(shp, -1.0, jnp.float32),
+                jnp.full(shp, big2, jnp.float32),
+                jnp.full(shp, -1.0, jnp.float32),
+                jnp.full(shp, big2, jnp.float32),
+                jnp.full(shp, big2, jnp.float32),
+                jnp.full(shp, -1.0, jnp.float32),
+                jnp.array(True))
+        (r_fin, t1, s1, t2, s2, t3, ts_m, ts_s,
+         _) = jax.lax.while_loop(cond, body, init)
+
+        # Drain in-flight DMAs.
+        for j in range(depth):
+            @pl.when(r_fin + j < m)
+            def _(j=j):
+                sl = jax.lax.rem(r_fin + j, nslots)
+                pltpu.make_async_copy(tb_ref.at[gid_ref[0, 0, r_fin + j]],
+                                      scratch.at[sl], sem.at[sl]).wait()
+
+        rounds = jnp.full(shp, 1.0) * r_fin.astype(jnp.float32)
+        out_ref[:] = jnp.concatenate(
+            [t1, s1, t2, s2, t3, ts_m, ts_s,
+             rounds, jnp.zeros((TILE, 8), jnp.float32)], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "any_hit", "interpret", "tmg"))
+def _traverse_tile_padded(tw, cand_gid, cand_entry, rays, m: int,
+                          any_hit: bool, interpret: bool, tmg: float):
+    """rays: (Bp, 8), Bp a TILE multiple.  Returns (Bp, 16) packed
+    [t1, s1, t2, s2, t3, ts_m, ts_s, rounds, 0 x 8]."""
+    bp = rays.shape[0]
+    n_tiles = bp // TILE
+    kernel = _make_tile_kernel(m, any_hit, tmg)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 16), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((min(_PIPE, m) + 1,) + tw.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(cand_gid.reshape(n_tiles, 1, m), cand_entry.reshape(n_tiles, 1, m),
+      rays, tw)
+
+
+def _make_tilemt_kernel(m: int, any_hit: bool):
+    """Exact tile-granular traversal: one TILE of rays advances through a
+    shared candidate list; round r = ONE block DMA (pipelined) + one dense
+    (GROUP, ST, LANES) Moller-Trumbore of all 128 rays against the block's
+    128 triangles (reference acceptance, Triangle.cpp:63-109).  Unlike the
+    banded kernel this shares each DMA and exit test across the whole
+    tile; unlike the Baldwin-Weber kernel the math is the exact f32 MT, so
+    no margins, refine, or fallback flags are needed."""
+    depth = min(_PIPE, m)
+    nslots = depth + 1
+
+    def kernel(gid_ref, entry_ref, rays_ref, tb_ref, out_ref, scratch, sem):
+        g_n = GROUP
+        rays = rays_ref[:]                                  # (TILE, 8)
+
+        def comp(c):
+            return rays[:, c:c + 1].reshape(g_n, ST, 1)
+
+        ox, oy, oz = comp(0), comp(1), comp(2)
+        dx, dy, dz = comp(3), comp(4), comp(5)
+        t_init = comp(6)
+        prev = comp(7)
+
+        def start(r):
+            sl = jax.lax.rem(r, nslots)
+            pltpu.make_async_copy(tb_ref.at[gid_ref[0, 0, r]],
+                                  scratch.at[sl], sem.at[sl]).start()
+
+        for j in range(depth):
+            start(jnp.int32(j))
+
+        def cond(carry):
+            return carry[-1]
+
+        def body(carry):
+            r, t_best, slot_best, alive = carry
+            sl = jax.lax.rem(r, nslots)
+            pltpu.make_async_copy(tb_ref.at[gid_ref[0, 0, r]],
+                                  scratch.at[sl], sem.at[sl]).wait()
+
+            @pl.when(r + depth < m)
+            def _():
+                start(r + depth)
+
+            tr = scratch[sl]                                # (16, LANES)
+            pax, pay, paz = tr[0:1, :], tr[1:2, :], tr[2:3, :]
+            abx, aby, abz = tr[3:4, :], tr[4:5, :], tr[5:6, :]
+            acx, acy, acz = tr[6:7, :], tr[7:8, :], tr[8:9, :]
+            tvalid = tr[9:10, :] > 0.5
+            slot = tr[10:11, :]                             # (1, LANES)
+
+            px = dy * acz - dz * acy
+            py = dz * acx - dx * acz
+            pz = dx * acy - dy * acx
+            det = abx * px + aby * py + abz * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < C.EPSILON, 1.0, det)
+            tvx, tvy, tvz = ox - pax, oy - pay, oz - paz
+            u = inv * (tvx * px + tvy * py + tvz * pz)
+            qx = tvy * abz - tvz * aby
+            qy = tvz * abx - tvx * abz
+            qz = tvx * aby - tvy * abx
+            v = inv * (dx * qx + dy * qy + dz * qz)
+            t = inv * (acx * qx + acy * qy + acz * qz)
+
+            ok = ((jnp.abs(det) >= C.EPSILON) & (u >= 0.0) & (u <= 1.0)
+                  & (v >= 0.0) & (u + v <= 1.0) & (t >= C.EPSILON)
+                  & tvalid & (slot != prev))
+            t = jnp.where(ok & (t < t_best), t, _BIG)
+            tmin = jnp.min(t, axis=2, keepdims=True)        # (G, ST, 1)
+            smin = jnp.min(jnp.where(t <= tmin,
+                                     jnp.broadcast_to(slot, t.shape), _BIG),
+                           axis=2, keepdims=True)
+            closer = tmin < t_best
+            t_best = jnp.where(closer, tmin, t_best)
+            slot_best = jnp.where(closer, smin, slot_best)
+
+            if any_hit:
+                # Tile fully occluded: every ray found a blocker.
+                not_occ = jnp.max(jnp.where(t_best < t_init, 0.0, 1.0))
+                t_worst = jnp.where(not_occ < 0.5, -_BIG,
+                                    jnp.max(jnp.where(t_best < t_init,
+                                                      -_BIG, t_init)))
+            else:
+                t_worst = jnp.max(t_best)
+            nxt_idx = jnp.minimum(r + 1, m - 1)
+            past = r + 1 >= m
+            done = past | (entry_ref[0, 0, nxt_idx] >= t_worst)
+            return (r + 1, t_best, slot_best, ~done)
+
+        init = (jnp.int32(0), t_init,
+                jnp.full((g_n, ST, 1), -1.0, jnp.float32),
+                jnp.array(True))
+        r_fin, t_best, slot_best, _ = jax.lax.while_loop(cond, body, init)
+
+        for j in range(depth):
+            @pl.when(r_fin + j < m)
+            def _(j=j):
+                sl = jax.lax.rem(r_fin + j, nslots)
+                pltpu.make_async_copy(tb_ref.at[gid_ref[0, 0, r_fin + j]],
+                                      scratch.at[sl], sem.at[sl]).wait()
+
+        out_ref[:] = jnp.concatenate(
+            [t_best.reshape(TILE, 1), slot_best.reshape(TILE, 1),
+             jnp.full((TILE, 1), 1.0) * r_fin.astype(jnp.float32),
+             jnp.zeros((TILE, 1), jnp.float32)], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("m", "any_hit", "interpret"))
+def _traverse_tilemt_padded(tb, cand_gid, cand_entry, rays, m: int,
+                            any_hit: bool, interpret: bool):
+    """rays: (Bp, 8), Bp a TILE multiple.  Returns (Bp, 4) packed
+    [t, slot, rounds, 0]."""
+    bp = rays.shape[0]
+    n_tiles = bp // TILE
+    kernel = _make_tilemt_kernel(m, any_hit)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 4), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((min(_PIPE, m) + 1,) + tb.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(cand_gid.reshape(n_tiles, 1, m), cand_entry.reshape(n_tiles, 1, m),
+      rays, tb)
+
+
+def traverse_tilemt(grid: PallasGrid, tris: Triangles, o, d, t_init,
+                    prev_kind, prev_id, any_hit: bool = False):
+    """Closest-hit (or any-hit) via the exact tile-MT kernel + exact
+    banded refill.  Same contract as `traverse`."""
+    b = o.shape[0]
+    grid = jax.tree.map(jnp.asarray, grid)
+    t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
+    rays, bp = _pack_rays(o, d, t0, prev_kind, prev_id, TILE)
+    op, dp = rays[:, 0:3], rays[:, 3:6]
+    ntile = bp // TILE
+    cap0 = jnp.max(rays[:, 6].reshape(ntile, TILE), axis=1)
+    cg, _, ce, cut = _candidates(grid, op, dp, cap=cap0, st=TILE,
+                                 top_s=TILE_TOP_S, top_m=TILE_TOP_M)
+    m = cg.shape[1]
+    interp = _interpret()
+    out = _traverse_tilemt_padded(grid.tb, cg, ce, rays, m, any_hit, interp)
+    t_cur, sid = out[:, 0], out[:, 1]
+
+    floor_r = jnp.repeat(cut, TILE)
+    lanes_pad = jnp.arange(bp) >= b
+    floor_r = jnp.where(lanes_pad, _BIG, floor_r)
+    if any_hit:
+        # Occluded rays are resolved regardless of the window cutoff.
+        floor_r = jnp.where(t_cur < rays[:, 6], _BIG, floor_r)
+
+    t_fin, sid_fin = _refill_exact(grid, rays, t_cur, sid, floor_r,
+                                   any_hit, interp, bp)
+    t_fin = t_fin[:b]
+    sid_fin = sid_fin[:b]
+    hit = t_fin < t0
+    return (jnp.where(hit, t_fin, _BIG),
+            jnp.where(hit, sid_fin.astype(jnp.int32), -1))
+
+
+def _exact_mt_pair(tri_attr, o, d, slot_f, prev_f):
+    """Exact f32 Moller-Trumbore re-test of one BW candidate slot per ray
+    (slot_f f32 global slot, -1 = none): the tile kernel's approximate
+    winners are re-derived with the reference acceptance
+    (Triangle.cpp:63-109) so the traversal's final (t, id) match the
+    naive oracle bit-for-bit."""
+    s = jnp.maximum(slot_f.astype(jnp.int32), 0)
+    row = tri_attr[s]
+    t, ok = nv._mt_components(o, d, row[:, 0:3], row[:, 3:6], row[:, 6:9])
+    ok = ok & (slot_f >= 0.0) & (slot_f != prev_f)
+    return jnp.where(ok, t, _BIG), ok
+
+
+def traverse_tile(grid: PallasGrid, tris: Triangles, o, d, t_init,
+                  prev_kind, prev_id, any_hit: bool = False):
+    """Closest-hit (or any-hit) via the MXU tile kernel + exact refine +
+    exact banded refill.  Same contract as `traverse`."""
+    b = o.shape[0]
+    grid = jax.tree.map(jnp.asarray, grid)
+    t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
+    rays, bp = _pack_rays(o, d, t0, prev_kind, prev_id, TILE)
+    op, dp = rays[:, 0:3], rays[:, 3:6]
+    ntile = bp // TILE
+    cap0 = jnp.max(rays[:, 6].reshape(ntile, TILE), axis=1)
+    cg, _, ce, cut = _candidates(grid, op, dp, cap=cap0, st=TILE,
+                                 top_s=TILE_TOP_S, top_m=TILE_TOP_M)
+    m = cg.shape[1]
+    interp = _interpret()
+    tmg = grid.t_margin
+    out = _traverse_tile_padded(grid.tw, cg, ce, rays, m, any_hit, interp,
+                                tmg)
+    t1, s1, t2, s2 = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+    t3, ts_m, ts_s = out[:, 4], out[:, 5], out[:, 6]
+    prevf = rays[:, 7]
+    t0p = rays[:, 6]
+    e1, ok1 = _exact_mt_pair(grid.tri_attr, op, dp, s1, prevf)
+    e2, ok2 = _exact_mt_pair(grid.tri_attr, op, dp, s2, prevf)
+    lanes_pad = jnp.arange(bp) >= b
+
+    floor_r = jnp.repeat(cut, TILE)
+    if not any_hit:
+        t_ex = jnp.minimum(e1, e2)
+        sid = jnp.where(e1 <= e2, s1, s2)
+        # Flag rays whose exact winner may not be among the two kept
+        # candidates: (a) the third-best approximate t lands inside the
+        # error window of the worst kept (every pair that could beat the
+        # kept winner satisfies t_bw <= t2 + 2err, so a clear window
+        # proves the winner was kept); (b) both kept failed the exact test
+        # while a third loose accept existed (the kept pair were artifacts
+        # that displaced real candidates).
+        flag = (((t3 < _BIG) & (t3 <= t2 * (1.0 + 2.0 * _TREL) + 2.0 * tmg))
+                | ((t_ex >= _BIG) & (t3 < _BIG)))
+        t_cur = jnp.minimum(t_ex, t0p)
+    else:
+        occ1 = ok1 & (e1 < t0p)
+        occ2 = ok2 & (e2 < t0p)
+        strict_occ = ts_s >= 0
+        occ = strict_occ | occ1 | occ2
+        t_cur = jnp.where(occ1, e1,
+                          jnp.where(occ2, e2,
+                                    jnp.where(strict_occ, ts_m, t0p)))
+        sid = jnp.where(occ1, s1,
+                        jnp.where(occ2, s2,
+                                  jnp.where(strict_occ, ts_s, -1.0)))
+        # A third ambiguous pair exists that the kept two cannot account
+        # for -> exact fallback unless already strictly occluded.
+        flag = ~occ & (t3 < _BIG)
+        floor_r = jnp.where(occ, _BIG, floor_r)  # occluded = resolved
+
+    floor_r = jnp.where(flag, -_BIG, floor_r)
+    floor_r = jnp.where(lanes_pad, _BIG, floor_r)
+    t_cur = jnp.where(lanes_pad, 0.0, t_cur)
+
+    t_fin, sid_fin = _refill_exact(grid, rays, t_cur, sid, floor_r,
+                                   any_hit, interp, bp)
+    t_fin = t_fin[:b]
+    sid_fin = sid_fin[:b]
+    hit = t_fin < t0
+    return (jnp.where(hit, t_fin, _BIG),
+            jnp.where(hit, sid_fin.astype(jnp.int32), -1))
 
 
 # ---------------------------------------------------------------------------
@@ -670,26 +1242,42 @@ def build(scene: Scene, **kwargs) -> Scene:
     return jax.device_put(scene.replace(triangles=tris2, bvh=grid))
 
 
+# Traversal variants, A/B-measured on the conference proxy (512^2 Whitted
+# primaries, v5e, round 4): "tilemt" 15.6 ms, "banded" 29.4 ms, "tilebw"
+# 54.8 ms per closest pass.  tilemt (tile-granular candidates + exact
+# in-kernel Moller-Trumbore) is the production path; tilebw (the MXU
+# Baldwin-Weber contraction) is kept as the measured-slower experiment —
+# at contraction depth 8 the MXU has no arithmetic advantage and HIGHEST
+# precision costs 6 passes (see PERF.md); banded remains the refill
+# workhorse.
+_TRAVERSALS = {"banded": traverse, "tilebw": traverse_tile,
+               "tilemt": traverse_tilemt}
+DEFAULT_MODE = "tilemt"
+
+
 def intersect_scene_pallas(scene: Scene, o, d, prev_kind, prev_id,
-                           t_max=_BIG) -> Hit:
+                           t_max=_BIG, mode: str = None) -> Hit:
     grid = scene.bvh
     assert isinstance(grid, PallasGrid), "call ops.pallas_bvh.build first"
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
     t_pl, id_pl = nv.closest_planes(scene.planes, o, d, tm, prev_kind, prev_id)
     t_sp, id_sp = nv.closest_spheres(scene.spheres, o, d, tm, prev_kind, prev_id)
-    t_tr, id_tr = traverse(grid, scene.triangles, o, d, tm, prev_kind, prev_id)
+    trav = _TRAVERSALS[mode or DEFAULT_MODE]
+    t_tr, id_tr = trav(grid, scene.triangles, o, d, tm, prev_kind, prev_id)
     t_tr = jnp.where(id_tr >= 0, t_tr, _BIG)
     t_li, id_li = nv.closest_lights(scene.lights, o, d, tm, prev_kind, prev_id)
     return nv._fill_hit(scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
                         t_li, id_li, tri_attr=grid.tri_attr)
 
 
-def occluded_pallas(scene: Scene, o, d, max_dist, prev_kind, prev_id):
+def occluded_pallas(scene: Scene, o, d, max_dist, prev_kind, prev_id,
+                    mode: str = None):
     grid = scene.bvh
     assert isinstance(grid, PallasGrid), "call ops.pallas_bvh.build first"
     md = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (o.shape[0],))
     t_pl, _ = nv.closest_planes(scene.planes, o, d, md, prev_kind, prev_id)
     t_sp, _ = nv.closest_spheres(scene.spheres, o, d, md, prev_kind, prev_id)
-    t_tr, id_tr = traverse(grid, scene.triangles, o, d, md, prev_kind,
-                           prev_id, any_hit=True)
+    trav = _TRAVERSALS[mode or DEFAULT_MODE]
+    t_tr, id_tr = trav(grid, scene.triangles, o, d, md, prev_kind,
+                       prev_id, any_hit=True)
     return (id_tr >= 0) | (t_pl < md) | (t_sp < md)

@@ -127,7 +127,7 @@ def bind_material(scene: Scene, hit: Hit):
 def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
                     samples_light: int, shadows: bool,
                     occluded_fn=None, mask=None,
-                    share_mask=None) -> jnp.ndarray:
+                    share_mask=None, coherent: bool = False) -> jnp.ndarray:
     """Next-event estimation for diffuse hits.
 
     Per sample: pick a uniform light (Shader.cpp:223-233), take its position
@@ -144,7 +144,7 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
     shadow_rays = jnp.zeros((b,), jnp.int32)
     has_lights = scene.lights.num > 0
     if occluded_fn is None:
-        occluded_fn = intersect.occluded_naive
+        occluded_fn = lambda *a, **k: intersect.occluded_naive(*a)
     # Lanes outside `mask` trace a duplicate of a live lane's shadow ray
     # (discarded) so traversal subtiles stay coherent; see park_dead_lanes.
     origin = hit.point
@@ -164,7 +164,13 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
         # bounces run through the compacted wavefront (engine.py), where
         # execution grouping depends on batch size — a per-lane pick keeps
         # the image invariant to sharding and compaction layout.
-        st = 16
+        # Coherent (primary) batches share per 128-ray traversal TILE so
+        # the whole tile's shadow bundle converges on one light point and
+        # the tile-granular kernel sees a single tight cone; incoherent
+        # batches share per 16-ray subtile (the banded kernel's hull
+        # granularity).  Either width keeps every pixel's marginal sample
+        # uniform, so the estimator stays unbiased.
+        st = 128 if coherent else 16
         if b % st == 0:
             def subtile_share(k):
                 shared = jnp.repeat(k.reshape(b // st, st, -1)[:, 0], st, 0)
@@ -198,7 +204,8 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
             live = visible if mask is None else (mask & visible)
             org_t, dir_t = park_dead_lanes(origin, ldir, live)
             blocked = occluded_fn(
-                scene, org_t, dir_t, dist, hit.prim_kind, hit.prim_id)
+                scene, org_t, dir_t, dist, hit.prim_kind, hit.prim_id,
+                coherent=coherent)
             visible = visible & ~blocked
         contrib = radiance * cos_nl[:, None]
         total = total + jnp.where((visible & has_lights)[:, None], contrib, 0.0)

@@ -47,21 +47,28 @@ def _naive_tris(tris, o, d, pk, pi):
     return np.where(i >= 0, t, C.RAY_LENGTH_MAX), i
 
 
+MODES = sorted(pallas_bvh._TRAVERSALS)
+
+
+@pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("n", [40, 700])
-def test_closest_matches_naive(n):
+def test_closest_matches_naive(n, mode):
     tris2, grid = pallas_bvh.build_blocks(_random_tris(n))
     b = 256
     o, d = _random_rays(b)
     pk = jnp.zeros((b,), jnp.int32)
     pi = jnp.full((b,), -1, jnp.int32)
-    t_p, id_p = pallas_bvh.traverse(grid, tris2, o, d, C.RAY_LENGTH_MAX,
-                                    pk, pi)
+    t_p, id_p = pallas_bvh._TRAVERSALS[mode](grid, tris2, o, d,
+                                             C.RAY_LENGTH_MAX, pk, pi)
     t_n, id_n = _naive_tris(tris2, o, d, pk, pi)
     np.testing.assert_array_equal(np.asarray(id_p), id_n)
     np.testing.assert_allclose(np.asarray(t_p), t_n, rtol=1e-5)
 
 
-def test_any_hit_and_guard():
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.slow
+def test_any_hit_and_guard(mode):
+    trav = pallas_bvh._TRAVERSALS[mode]
     tris2, grid = pallas_bvh.build_blocks(_random_tris(700))
     b = 128
     o, d = _random_rays(b, seed=3)
@@ -70,21 +77,21 @@ def test_any_hit_and_guard():
     t_n, id_n = _naive_tris(tris2, o, d, pk, pi)
 
     md = jnp.full((b,), 1.5, jnp.float32)
-    _, id_a = pallas_bvh.traverse(grid, tris2, o, d, md, pk, pi, any_hit=True)
+    _, id_a = trav(grid, tris2, o, d, md, pk, pi, any_hit=True)
     np.testing.assert_array_equal(np.asarray(id_a) >= 0, t_n < 1.5)
 
     # Self-hit guard: excluding each ray's own closest triangle must agree
     # with the naive scan under the same guard.
     pk2 = jnp.full((b,), C.PRIM_TRIANGLE, jnp.int32)
     pi2 = jnp.asarray(id_n, jnp.int32)
-    t_g, id_g = pallas_bvh.traverse(grid, tris2, o, d, C.RAY_LENGTH_MAX,
-                                    pk2, pi2)
+    t_g, id_g = trav(grid, tris2, o, d, C.RAY_LENGTH_MAX, pk2, pi2)
     t_gn, id_gn = _naive_tris(tris2, o, d, pk2, pi2)
     np.testing.assert_array_equal(np.asarray(id_g), id_gn)
     hit = id_gn >= 0
     np.testing.assert_allclose(np.asarray(t_g)[hit], t_gn[hit], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_scene_dispatch_cornell():
     """Full-scene closest hit through the Pallas dispatch on a built-in
     scene (planes/spheres naive + triangles via the kernel)."""
