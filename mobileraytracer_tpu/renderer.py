@@ -199,7 +199,11 @@ class Renderer:
         return accum, rays
 
     def stop_render(self):
-        """Graceful cancel (reference Renderer.cpp:93-99)."""
+        """Graceful cancel (reference Renderer.cpp:93-99): the running
+        render loop (sync or async) stops scheduling further samples.
+        Safe to call from any thread while `render_async` is in flight —
+        the reference's `rtStopRender(wait)` contract
+        (JNI_layer.cpp:429-462)."""
         self._stop = True
 
     def reset(self):
@@ -240,6 +244,40 @@ class Renderer:
         self.render_seconds = time.perf_counter() - t0
         self.state = STATE_STOPPED if self._stop else STATE_FINISHED
         return self.image
+
+    def render_async(self, callback: Optional[Callable] = None):
+        """Detached render thread — the reference's primary entry mode
+        (`RayTrace(config, async=true)` detaches a worker thread,
+        C_wrapper.cpp:283-290; `rtRenderIntoBitmap` detaches and the UI
+        polls state/fps/sample while pixels accumulate,
+        JNI_layer.cpp:744-901, RenderTask.kt:284-317).
+
+        Returns immediately.  While rendering, `state` is BUSY and
+        `sample` / `fps` / `bitmap` / `image` / `stats_line()` give live
+        progressive values (each sample's accumulator swap is atomic under
+        the GIL, so pollers always see a complete frame at some sample
+        count — the reference's torn-but-benign live bitmap is actually
+        *tear-free* here).  `stop_render()` cancels cooperatively;
+        `wait()` joins and returns the final state."""
+        import threading
+        if self.state == STATE_BUSY:
+            raise RuntimeError("render already in progress")
+        # BUSY before returning so a poller never observes IDLE after
+        # render_async() (the JNI layer sets state under the same mutex
+        # before detaching, JNI_layer.cpp:783-801).
+        self.state = STATE_BUSY
+        self._thread = threading.Thread(
+            target=self.render, args=(callback,), daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def wait(self, timeout: Optional[float] = None) -> str:
+        """Joins an in-flight `render_async` (reference rtStopRender's
+        condvar wait, JNI_layer.cpp:444-459).  Returns the final state."""
+        t = getattr(self, "_thread", None)
+        if t is not None:
+            t.join(timeout)
+        return self.state
 
     def preview(self) -> np.ndarray:
         """Fast single-sample DiffuseMaterial pass — the analogue of the

@@ -35,6 +35,57 @@ def test_state_machine_stopped():
     assert r.state == STATE_STOPPED
 
 
+def test_async_render_finishes_with_live_polling():
+    """render_async returns immediately; state/sample/bitmap are readable
+    while the worker accumulates (reference RayTrace(async=true),
+    C_wrapper.cpp:283-290 + RenderTask.kt poller)."""
+    import time
+    r = _renderer(spp=3, size=16)
+    t = r.render_async()
+    assert r.state == STATE_BUSY  # set before return, never IDLE after
+    polled = []
+    deadline = time.time() + 120
+    while r.state == STATE_BUSY and time.time() < deadline:
+        polled.append((r.sample, r.bitmap.copy()))
+        time.sleep(0.01)
+    assert r.wait(120) == STATE_FINISHED
+    assert r.sample == 3
+    assert t is not None and not t.is_alive()
+    # Progressive samples were observable while running.
+    assert any(0 <= s <= 3 for s, _ in polled)
+    assert r.bitmap.shape == (16, 16)
+
+
+def test_async_stop_render_concurrent():
+    """stop_render() from the polling thread cancels a running async
+    render mid-frame (reference rtStopRender(wait=true),
+    JNI_layer.cpp:429-462)."""
+    import time
+    r = _renderer(spp=500, size=16)
+    r.render_async()
+    deadline = time.time() + 120
+    while r.sample < 2 and time.time() < deadline:
+        time.sleep(0.005)
+    assert r.sample >= 2, "render thread made no progress"
+    r.stop_render()
+    assert r.wait(120) == STATE_STOPPED
+    assert 2 <= r.sample < 500
+    # fps was measured while rendering.
+    assert r.fps > 0
+
+
+def test_async_double_start_rejected():
+    import time
+    r = _renderer(spp=200, size=16)
+    r.render_async()
+    try:
+        with pytest.raises(RuntimeError):
+            r.render_async()
+    finally:
+        r.stop_render()
+        r.wait(120)
+
+
 def test_stats_line_contents():
     r = _renderer(spp=1)
     r.render()
