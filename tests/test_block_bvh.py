@@ -71,6 +71,7 @@ def test_block_shadow_matches_naive():
     np.testing.assert_array_equal(np.asarray(bn), np.asarray(bb_))
 
 
+@pytest.mark.slow
 def test_block_render_matches_naive_render():
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
     key = jax.random.PRNGKey(0)

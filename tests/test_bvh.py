@@ -78,6 +78,7 @@ def test_bvh_respects_self_intersection_guard():
     assert int(hit.prim_id[0]) != 0 or hit.prim_kind[0] != C.PRIM_TRIANGLE
 
 
+@pytest.mark.slow
 def test_bvh_render_matches_naive_render():
     """Engine-level: same image through both accelerators (the reference's
     AcceleratorTestEngine parity, strengthened to exact-image equality)."""

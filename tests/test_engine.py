@@ -51,6 +51,7 @@ def test_ray_count_positive_and_sane():
     assert rays < SIZE * SIZE * 50
 
 
+@pytest.mark.slow
 def test_spp_accumulation_reduces_noise():
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
     base = RenderConfig(width=SIZE, height=SIZE, shader=C.SHADER_PATHTRACER,
@@ -73,6 +74,7 @@ def test_spp_accumulation_reduces_noise():
     assert np.abs(img16 - alt16).mean() < np.abs(img1 - alt1).mean()
 
 
+@pytest.mark.slow
 def test_whitted_mirror_reflection_present():
     """The cornell mirror sphere must reflect scene colors (depth > 1)."""
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL, 1.0)
@@ -120,6 +122,7 @@ def test_stop_render_cooperative():
     assert r.sample == 2
 
 
+@pytest.mark.slow
 def test_int_parity_accumulation_mode():
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL, 1.0)
     cfg = RenderConfig(width=SIZE, height=SIZE, spp=1, shader=C.SHADER_WHITTED,

@@ -150,6 +150,7 @@ def test_obj_golden(name, base, shader):
 
 # --- statistical goldens (RNG-dependent configs) ---------------------------
 
+@pytest.mark.slow
 def test_teapot_whitted_statistical():
     """teapot.mtl's emissive "light" material becomes AreaLights
     (OBJLoader.cpp:367-387), so Whitted draws random light-surface points;
@@ -163,6 +164,7 @@ def test_teapot_whitted_statistical():
                  outlier_frac=0.05, label="teapot_whitted_16spp")
 
 
+@pytest.mark.slow
 def test_cornell2_whitted_statistical():
     """AreaLight sampling differs by RNG design (PARITY.md §RNG); at 16 spp
     the mean images must agree within Monte-Carlo tolerance."""
@@ -172,6 +174,7 @@ def test_cornell2_whitted_statistical():
                  outlier_frac=0.05, label="cornell2_whitted_16spp")
 
 
+@pytest.mark.slow
 def test_water_whitted_statistical():
     """Whitted refraction parity on the transmissive water mesh — the
     hardest Whitted branch (reference Whitted.cpp:82-90: refract + kT
@@ -224,6 +227,7 @@ def render_obj_seed_mean(base, shader, size, acc, n_seeds=16):
 
 @pytest.mark.parametrize("shader", range(5))
 @pytest.mark.parametrize("acc", (C.ACC_NAIVE, C.ACC_REGULAR_GRID, C.ACC_BVH))
+@pytest.mark.slow
 def test_engine_matrix_water30(shader, acc):
     base = RES / "CornellBox" / "CornellBox-Water"
     if not base.parent.exists():
@@ -248,6 +252,7 @@ def test_engine_matrix_water30(shader, acc):
         assert d < 0.04, f"{name}: per-pixel mean|diff| {d:.4f} >= 0.04"
 
 
+@pytest.mark.slow
 def test_cornell2_pathtracer_statistical():
     """PathTracer parity incl. the post-order NEE guard
     (PathTracer.cpp:107-113; shaders/engine.py bucket walk).

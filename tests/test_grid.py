@@ -3,6 +3,7 @@ reference's AcceleratorTestEngine matrix covers Naive/RegGrid/BVH)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mobileraytracer_tpu import constants as C
 from mobileraytracer_tpu import scenes
@@ -61,6 +62,7 @@ def test_grid_shadow_matches_naive():
     np.testing.assert_array_equal(np.asarray(bn), np.asarray(bg))
 
 
+@pytest.mark.slow
 def test_grid_render_matches_naive_render():
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
     key = jax.random.PRNGKey(0)

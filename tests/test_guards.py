@@ -53,6 +53,7 @@ def test_validate_rejects_nonpositive_radius():
         guards.validate_scene(bad)
 
 
+@pytest.mark.slow
 def test_checked_render_clean_scene_passes():
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL, 1.0)
     out = guards.checked_render(scene, cam, _cfg(), KEY)
@@ -60,6 +61,7 @@ def test_checked_render_clean_scene_passes():
     assert np.isfinite(img).all() and img.max() > 0
 
 
+@pytest.mark.slow
 def test_checked_render_detects_nan_material():
     # A NaN smuggled into the material table must trip the float checks
     # inside the compiled program, not silently corrupt the film

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 2, reason="needs multi-device (virtual) platform")
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device():
     """Sharding is a pure execution detail: the counter-based RNG keys every
     sampling decision by (pixel, sample, lane-pop), so the N-device render
@@ -45,6 +46,7 @@ def test_sharded_render_subset_mesh():
     assert np.isfinite(img).all() and img.max() > 0
 
 
+@pytest.mark.slow
 def test_train_step_gradients_flow_and_reduce():
     """Differentiable albedo/emission: gradients must be finite, nonzero for
     used materials, and identical across mesh sizes."""
@@ -66,6 +68,7 @@ def test_train_step_gradients_flow_and_reduce():
     assert np.abs(kd8).max() > 0
 
 
+@pytest.mark.slow
 def test_gradient_matches_finite_differences():
     """Albedo gradient sanity vs central differences of the renderer."""
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL, 1.0)

@@ -37,6 +37,7 @@ def _free_port():
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs the 8-device virtual CPU platform")
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process(tmp_path):
     out = tmp_path / "mh.json"
     coord = f"localhost:{_free_port()}"

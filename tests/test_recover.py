@@ -28,6 +28,7 @@ def _setup():
     return scene, cam, cfg, target, true_kd, kd0
 
 
+@pytest.mark.slow
 def test_recover_cornell2_albedo(tmp_path):
     scene, cam, cfg, target, true_kd, kd0 = _setup()
     m = pmesh.make_mesh()

@@ -64,6 +64,7 @@ def ref_loss(delta, runs=4):
     return float(np.mean(losses)), base_kd
 
 
+@pytest.mark.slow
 def test_kd_gradient_matches_reference_fd():
     scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
     scene = jax.device_put(scene)   # host-numpy tables -> traceable arrays

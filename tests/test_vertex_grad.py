@@ -5,6 +5,7 @@ one-triangle scene against (a) the analytic projected-area derivative and
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mobileraytracer_tpu import constants as C
 from mobileraytracer_tpu.builder import SceneBuilder
@@ -28,6 +29,7 @@ def _one_tri_scene():
     return scene, cam
 
 
+@pytest.mark.slow
 def test_boundary_gradient_matches_analytic_area_derivative():
     """DiffuseMaterial renders the triangle as flat kd over black, so
     loss = mean(kd) * (projected area in factor space); dL/dv must equal
