@@ -11,9 +11,16 @@ Workload: the reference's conference OBJ is not vendored (only .cam/.mtl),
 so we render the procedural conference proxy at the reference's exact
 scale — 331,179 triangles, 2 area lights, the real conference.mtl
 materials and conference.cam camera — Whitted, BVH, 512x512, 1 SPP
-(BASELINE.md config #3).  vs_baseline is reported against the north-star
-1e9 rays/s/host target since the reference publishes no absolute numbers.
+(BASELINE.md config #3) by default.  vs_baseline is reported against the
+north-star 1e9 rays/s/host target since the reference publishes no
+absolute numbers.
+
+Other BASELINE configs are reachable by flags (the default invocation —
+what the driver runs — is unchanged):
+    python bench.py --shader 2 --spp 16     # config #4: PathTracer 16 spp
+    python bench.py --acc 2 --size 256      # RegularGrid datapoint
 """
+import argparse
 import json
 import time
 
@@ -21,20 +28,41 @@ import jax
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shader", type=int, default=None,
+                    help="shader id (default Whitted=1; 2=PathTracer)")
+    ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--spl", type=int, default=1)
+    ap.add_argument("--acc", type=int, default=None,
+                    help="accelerator id (default BVH=3; 2=RegularGrid)")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=None,
+                    help="frames per timing executable (default: 9 at "
+                         "1 spp, 3 otherwise)")
+    args = ap.parse_args()
+
     from mobileraytracer_tpu import constants as C
     from mobileraytracer_tpu.bench_scenes import conference_proxy
-    from mobileraytracer_tpu.renderer import Renderer, render_frame
+    from mobileraytracer_tpu.renderer import render_frame
     from mobileraytracer_tpu.types import RenderConfig
 
+    shader = C.SHADER_WHITTED if args.shader is None else args.shader
+    acc = C.ACC_BVH if args.acc is None else args.acc
+
     scene, cam, info = conference_proxy()
-    if jax.default_backend() in ("tpu", "axon"):
-        from mobileraytracer_tpu.ops import pallas_bvh
-        scene = pallas_bvh.build(scene)
-    else:
-        from mobileraytracer_tpu.ops import block_bvh
-        scene = block_bvh.build(scene)
-    cfg = RenderConfig(width=512, height=512, spp=1,
-                       shader=C.SHADER_WHITTED, accelerator=C.ACC_BVH)
+    if acc == C.ACC_BVH:
+        if jax.default_backend() in ("tpu", "axon"):
+            from mobileraytracer_tpu.ops import pallas_bvh
+            scene = pallas_bvh.build(scene)
+        else:
+            from mobileraytracer_tpu.ops import block_bvh
+            scene = block_bvh.build(scene)
+    elif acc == C.ACC_REGULAR_GRID:
+        from mobileraytracer_tpu.ops import grid as grid_ops
+        scene = grid_ops.build_grid(scene)
+    cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
+                       samples_light=args.spl, shader=shader,
+                       accelerator=acc)
     key = jax.random.PRNGKey(0)
 
     # Timing on the tunneled TPU backend: `block_until_ready` does NOT wait
@@ -61,7 +89,7 @@ def main():
     _ = float(frames(1)[0])
     t1 = time.perf_counter() - t0
 
-    reps = 9
+    reps = args.reps or (9 if args.spp <= 1 else 3)
     t0 = time.perf_counter()
     _, rn = frames(reps)
     total_rays = int(rn)
