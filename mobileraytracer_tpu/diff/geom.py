@@ -120,16 +120,97 @@ def _mean_radiance(scene: Scene, camera: Camera, config: RenderConfig,
     return rgb
 
 
+def edge_topology(tris: Triangles, quantum: float = 1e-5) -> "np.ndarray":
+    """Host-side static edge culling (numpy, concrete arrays only): a
+    directed edge of the triangle soup can carry a boundary term only if
+    the image can actually jump across it.  A shared edge whose two faces
+    are coplanar with identical shading normals and the same material is
+    radiance-continuous (the tessellation diagonals of flat walls — the
+    bulk of a scene like conference), so both copies drop; boundary
+    (unshared) edges, creases, and material seams keep.  Returns a (3N,)
+    bool keep mask over the [ab | bc | ca] edge slots that vertex_grad
+    enumerates.
+
+    This is the static part of silhouette culling: view-dependent
+    silhouette tests do not apply to two-sided surfaces (every face is
+    hittable from both sides, ops/intersect.py's two-sided MT), so only
+    provably-zero jumps are dropped — the estimator stays exact."""
+    import numpy as np
+
+    va = np.asarray(tris.point_a)
+    vb = va + np.asarray(tris.ab)
+    vc = va + np.asarray(tris.ac)
+    n = va.shape[0]
+    valid = np.asarray(tris.valid)
+    nrm = np.cross(np.asarray(tris.ab), np.asarray(tris.ac))
+    ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / np.maximum(ln, 1e-30)
+    mat = np.asarray(tris.mat_id)
+
+    def key_of(p):
+        return np.round(p / quantum).astype(np.int64)
+
+    ka, kb, kc = key_of(va), key_of(vb), key_of(vc)
+    # Undirected edge keys: sorted endpoint tuples.
+    e_ends = [(ka, kb), (kb, kc), (kc, ka)]
+    keys = []
+    for (p, q) in e_ends:
+        lo = np.minimum(p, q)
+        hi = np.maximum(p, q)
+        keys.append(np.concatenate([lo, hi], axis=1))
+    allk = np.concatenate(keys, axis=0)                  # (3N, 6)
+    order = np.lexsort(allk.T)
+    sk = allk[order]
+    same_prev = np.concatenate([[False],
+                                np.all(sk[1:] == sk[:-1], axis=1)])
+    same_next = np.concatenate([same_prev[1:], [False]])
+    # Mate lookup (adjacent in sort order; runs > 2 — non-manifold —
+    # still pair up arbitrarily, which only makes the cull weaker).
+    mate_sorted = np.full(3 * n, -1, np.int64)
+    prev_idx = np.nonzero(same_prev)[0]
+    mate_sorted[prev_idx] = order[prev_idx - 1]
+    next_idx = np.nonzero(same_next)[0]
+    mate_sorted[next_idx] = order[next_idx + 1]
+    mate = np.full(3 * n, -1, np.int64)
+    mate[order] = mate_sorted
+
+    tri_of = np.tile(np.arange(n), 3)
+    keep = np.ones(3 * n, bool)
+    has_mate = mate >= 0
+    m_tri = tri_of[np.maximum(mate, 0)]
+    coplanar = np.abs(np.einsum("ij,ij->i", nrm[tri_of],
+                                nrm[m_tri])) > 1.0 - 1e-6
+    same_nrm = np.linalg.norm(nrm[tri_of] - nrm[m_tri], axis=-1) < 1e-6
+    same_mat = mat[tri_of] == mat[m_tri]
+    drop = has_mate & coplanar & same_nrm & same_mat
+    keep &= ~drop
+    # Edge arrays are slot-major ([ab x N | bc x N | ca x N]): tile, not
+    # repeat.
+    keep &= np.tile(valid, 3)
+    # Degenerate faces contribute nothing.
+    keep &= np.tile(ln[:, 0] > 1e-20, 3)
+    return keep
+
+
 def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
                 base_key: jax.Array, edge_samples: int = 8,
                 edge_eps: float = 1e-3,
-                spp: int = 1) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                spp: int = 1, edge_keep=None,
+                edge_budget: int = None
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Gradient of L = mean(image) w.r.t. every triangle vertex.
 
     Returns (loss, {"va": (N,3), "vb": ..., "vc": ...}).  interior term:
     reverse-mode through `spp` jitterless samples at fixed visibility;
     boundary term: `edge_samples` points per triangle edge, two-sided
     radiance probes offset `edge_eps` in factor space.
+
+    `edge_keep`: optional (3N,) bool mask from `edge_topology` zeroing
+    provably-continuous edges.  `edge_budget`: if set, the boundary term
+    is a length-importance-sampled Monte-Carlo estimate over `edge_budget`
+    kept edges instead of the full 3N enumeration — O(budget) probe rays
+    (the silhouette-scaling mode for large scenes; unbiased, each sampled
+    edge weighted by 1/(budget * p_edge)).
     """
     from .. import sampling
     from ..renderer import _pixel_order
@@ -157,7 +238,7 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
 
     va, vb, vc = verts["va"], verts["vb"], verts["vc"]
     # Edge list: (E, 2, 3) endpoints and the opposite vertex (for the
-    # inward direction); E = 3 * n_tri.
+    # inward direction); E = 3 * n_tri in slot order [ab | bc | ca].
     e0 = jnp.concatenate([va, vb, vc], 0)
     e1 = jnp.concatenate([vb, vc, va], 0)
     opp = jnp.concatenate([vc, va, vb], 0)
@@ -173,17 +254,41 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
     inward = jnp.sum((qo - q0) * n_hat, -1)
     n_hat = jnp.where((inward > 0)[:, None], -n_hat, n_hat)
 
-    # Edge sample points in factor space: (E, S, 2).
-    qs = q0[:, None, :] + seg[:, None, :] * sa[None, :, None]
-    probe_in = (qs - edge_eps * n_hat[:, None, :]).reshape(-1, 2)
-    probe_out = (qs + edge_eps * n_hat[:, None, :]).reshape(-1, 2)
+    w_e = seg_len
+    if edge_keep is not None:
+        w_e = w_e * jnp.asarray(edge_keep, jnp.float32)
+
+    if edge_budget is None:
+        # Full enumeration: every kept edge integrated with S samples.
+        sel = jnp.arange(e0.shape[0], dtype=jnp.int32)
+        mc_w = jnp.where(w_e > 0, 1.0, 0.0)
+    else:
+        # Length-importance-sampled edge subset: O(budget) probes
+        # regardless of scene size (the silhouette-scaling mode).  Each
+        # sampled edge is weighted by 1/(budget * p_e); edges with zero
+        # weight are never drawn.
+        bkey = jax.random.fold_in(base_key, 0x5ed6e)
+        total_w = jnp.sum(w_e)
+        logits = jnp.log(jnp.maximum(w_e, 1e-30))
+        sel = jax.random.categorical(bkey, logits, shape=(edge_budget,))
+        p_e = w_e[sel] / jnp.maximum(total_w, 1e-30)
+        mc_w = jnp.where(p_e > 0, 1.0 / (edge_budget * p_e), 0.0)
+
+    e0s, e1s = e0[sel], e1[sel]
+    segs, lens, nhs = seg[sel], seg_len[sel], n_hat[sel]
+    q0s = q0[sel]
+
+    # Edge sample points in factor space: (Es, S, 2).
+    qs = q0s[:, None, :] + segs[:, None, :] * sa[None, :, None]
+    probe_in = (qs - edge_eps * nhs[:, None, :]).reshape(-1, 2)
+    probe_out = (qs + edge_eps * nhs[:, None, :]).reshape(-1, 2)
 
     e_total = probe_in.shape[0]
     pkeys = sampling.ray_key(base_key, jnp.arange(e_total, dtype=jnp.int32),
                              1)
     l_in = _mean_radiance(scene, camera, config, probe_in, pkeys)
     l_out = _mean_radiance(scene, camera, config, probe_out, pkeys)
-    dl = jnp.mean(l_in - l_out, axis=-1).reshape(-1, edge_samples)  # (E, S)
+    dl = jnp.mean(l_in - l_out, axis=-1).reshape(-1, edge_samples)
 
     # Pixel-density weight: the jitter box has width 1/w x 1/h in factor
     # space but pixel centers are arctan-warped (Renderer.cpp:137-140 adds
@@ -195,26 +300,31 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
 
     # dq/dv at each sample: x(s) = (1-s) p0 + s p1, so dq/dv0 = (1-s) J(x)
     # and dq/dv1 = s J(x) with J = d factors / d world point (2x3).
-    xs = (e0[:, None, :] * (1 - sa)[None, :, None]
-          + e1[:, None, :] * sa[None, :, None]).reshape(-1, 3)
+    xs = (e0s[:, None, :] * (1 - sa)[None, :, None]
+          + e1s[:, None, :] * sa[None, :, None]).reshape(-1, 3)
     jac = jax.vmap(jax.jacrev(
-        lambda p: factors_of_point(camera, p)))(xs)       # (E*S, 2, 3)
+        lambda p: factors_of_point(camera, p)))(xs)       # (Es*S, 2, 3)
     ndotj = jnp.einsum("ek,ekd->ed",
-                       jnp.repeat(n_hat, edge_samples, 0), jac)  # (E*S, 3)
+                       jnp.repeat(nhs, edge_samples, 0), jac)  # (Es*S, 3)
     ndotj = ndotj.reshape(-1, edge_samples, 3)
 
-    wgt = dl * seg_len[:, None] / edge_samples            # (E, S)
+    wgt = dl * (lens * mc_w)[:, None] / edge_samples      # (Es, S)
     g0 = jnp.sum(wgt[:, :, None] * ndotj * (1 - sa)[None, :, None], axis=1)
     g1 = jnp.sum(wgt[:, :, None] * ndotj * sa[None, :, None], axis=1)
 
-    def acc(slot):  # slot 0: edges (a,b); 1: (b,c); 2: (c,a)
-        return (g0[slot * n_tri:(slot + 1) * n_tri],
-                g1[slot * n_tri:(slot + 1) * n_tri])
-
-    ab0, ab1 = acc(0)
-    bc0, bc1 = acc(1)
-    ca0, ca1 = acc(2)
-    g_bnd = {"va": ab0 + ca1, "vb": ab1 + bc0, "vc": bc1 + ca0}
+    # Scatter per-edge endpoint gradients back to the vertex slots: edge
+    # id e has slot e // n_tri (0 ab, 1 bc, 2 ca) and triangle e % n_tri;
+    # endpoint 0 of slot 0/1/2 is va/vb/vc, endpoint 1 is vb/vc/va.
+    slot = sel // n_tri
+    tri = sel % n_tri
+    zeros = jnp.zeros((n_tri, 3), jnp.float32)
+    g_bnd = {"va": zeros, "vb": zeros, "vc": zeros}
+    names = ["va", "vb", "vc"]
+    for sl in range(3):
+        msk = (slot == sl)[:, None]
+        p0, p1 = names[sl], names[(sl + 1) % 3]
+        g_bnd[p0] = g_bnd[p0].at[tri].add(jnp.where(msk, g0, 0.0))
+        g_bnd[p1] = g_bnd[p1].at[tri].add(jnp.where(msk, g1, 0.0))
 
     grads = {k: g_int[k] + g_bnd[k] for k in g_int}
     return loss, grads

@@ -71,6 +71,53 @@ def test_boundary_gradient_matches_analytic_area_derivative():
     np.testing.assert_allclose(got, expected, rtol=0.03, atol=2e-4)
 
 
+def test_edge_topology_culls_coplanar_interior():
+    """A flat quad split into two coplanar same-material triangles: the
+    shared diagonal is radiance-continuous and must be culled; the four
+    outer (boundary) edges must keep."""
+    from mobileraytracer_tpu.diff.geom import edge_topology
+    b = SceneBuilder()
+    m = b.add_material(kd=KD)
+    p00, p10, p01, p11 = ([-1, -1, 0], [1, -1, 0], [-1, 1, 0], [1, 1, 0])
+    b.add_triangle(p00, p10, p11, m)
+    b.add_triangle(p00, p11, p01, m)
+    scene = b.build()
+    keep = edge_topology(scene.triangles)
+    # Edge layout is [ab x N | bc x N | ca x N] over the (padded) capacity
+    # N: the shared diagonal is tri0's ca edge (p11->p00, index 2N+0) and
+    # tri1's ab edge (p00->p11, index 1).
+    n = scene.triangles.point_a.shape[0]
+    assert keep.shape == (3 * n,)
+    assert not keep[2 * n + 0]
+    assert not keep[1]
+    assert keep.sum() == 4
+
+
+def test_edge_budget_sampling_approximates_full_gradient():
+    """The length-importance-sampled boundary estimator must agree with
+    the full enumeration in expectation (single triangle: 3 edges, ample
+    budget makes the MC error tiny)."""
+    scene, cam = _one_tri_scene()
+    cfg = RenderConfig(width=64, height=64, spp=1, shader=C.SHADER_DIFFUSE,
+                       accelerator=C.ACC_NAIVE)
+    from mobileraytracer_tpu.diff.geom import edge_topology
+    keep = edge_topology(scene.triangles)
+    assert keep.sum() == 3
+    _, g_full = vertex_grad(scene, cam, cfg, jax.random.PRNGKey(0),
+                            edge_samples=16, edge_eps=5e-4, edge_keep=keep)
+
+    @jax.jit
+    def mc_once(key):
+        _, g = vertex_grad(scene, cam, cfg, key, edge_samples=16,
+                           edge_eps=5e-4, edge_keep=keep, edge_budget=12)
+        return g["va"][0]
+
+    gs = [np.asarray(mc_once(jax.random.PRNGKey(s))) for s in range(24)]
+    mc = np.mean(gs, axis=0)
+    full = np.asarray(g_full["va"])[0]
+    np.testing.assert_allclose(mc, full, rtol=0.3, atol=1e-3)
+
+
 def test_vertex_gradient_matches_finite_differences():
     """Central differences of jitter-averaged renders (the image mean IS
     the area integral in expectation) vs the edge-sampled gradient."""
