@@ -60,9 +60,12 @@ def main():
     elif acc == C.ACC_REGULAR_GRID:
         from mobileraytracer_tpu.ops import grid as grid_ops
         scene = grid_ops.build_grid(scene)
+    # nee_share=128: one shared NEE light cone per 128-ray traversal tile
+    # (the coherent tile-kernel shadow path; unbiased — see
+    # RenderConfig.nee_share).
     cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
                        samples_light=args.spl, shader=shader,
-                       accelerator=acc)
+                       accelerator=acc, nee_share=128)
     key = jax.random.PRNGKey(0)
 
     # Timing on the tunneled TPU backend: `block_until_ready` does NOT wait

@@ -716,6 +716,10 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     floor_r = jnp.repeat(cut, ST)
     floor_r = jnp.where(jnp.arange(bp) >= b, _BIG, floor_r)  # filler lanes
 
+    # Banded batches may be incoherent (the compacted walker tail): full
+    # windows with near-zero cuts leave most rays unresolved there, so the
+    # per-ray windowed refill (cheap, tight per-ray windows) does the bulk
+    # and the bounded naive sweep only catches its pathological tail.
     t, sid = _refill_exact(grid, rays, t, sid, floor_r, any_hit, interp, bp)
 
     t = t[:b]

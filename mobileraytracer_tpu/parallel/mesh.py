@@ -82,44 +82,61 @@ def _all_axes(mesh: Mesh):
     return tuple(mesh.axis_names)
 
 
-def _full_uv_grid(config: RenderConfig):
-    w, h = config.width, config.height
-    x = jnp.arange(w, dtype=jnp.float32)
-    y = jnp.arange(h, dtype=jnp.float32)
-    u = jnp.tile(x / w, h)
-    v = jnp.repeat(y / h, w)
-    pids = jnp.arange(w * h, dtype=jnp.int32)
-    return u, v, pids
+def _lane_order(config: RenderConfig):
+    """The renderer's patch-major pixel order (renderer._pixel_order):
+    each shard receives a CONTIGUOUS range of 4x4-patch-major lanes, so
+    the tile-cooperative traversal kernels see the same spatially
+    coherent 128-ray tiles sharded as they do unsharded (sharding
+    row-major pixels destroyed the patch interval bounds the Pallas
+    candidate selection depends on — VERDICT r3)."""
+    from ..renderer import _pixel_order
+    return _pixel_order(config)
 
 
 def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
                          base_key: jax.Array, mesh: Mesh, max_point=None):
     """Full frame with pixels sharded across `mesh`; scene replicated.
 
-    Returns the same dict as renderer.render_frame.  Pixel count must be a
-    multiple of the mesh size (the tile contract guarantees W*H % 256 == 0,
-    covering every power-of-two mesh up to 256).
+    Returns the same dict as renderer.render_frame, bit-identical to the
+    unsharded render (counter-based RNG keys by pixel id; lanes shard in
+    the same patch-major order the unsharded renderer traces).  Pixel
+    count must be a multiple of the mesh size (the tile contract
+    guarantees W*H % 256 == 0, covering every power-of-two mesh up to
+    256).
     """
     w, h = config.width, config.height
     n = mesh.devices.size
     assert (w * h) % n == 0, f"{w*h} pixels not divisible by {n} devices"
-    u, v, pids = _full_uv_grid(config)
+    u, v, pids, inv = _lane_order(config)
 
     replicated = P()
     sharded = _shard_spec(mesh)
     axes = _all_axes(mesh)
+    int_parity = config.accumulation == "int_parity"
 
     def shard_fn(scene, camera, key, u, v, pids, max_point):
-        def body(carry, s):
-            accum, rays = carry
-            rgb, r = sample_pixels(scene, camera, config, key, s, u, v, pids,
-                                   max_point=max_point)
-            return (film.incremental_avg_float(accum, rgb, s + 1), rays + r), None
-        init = (jnp.zeros((u.shape[0], 3), jnp.float32), jnp.zeros((), jnp.int32))
-        (accum, rays), _ = jax.lax.scan(body, init, jnp.arange(config.spp))
+        if int_parity:
+            def body(carry, s):
+                bitmap, rays = carry
+                rgb, r = sample_pixels(scene, camera, config, key, s, u, v,
+                                       pids, max_point=max_point)
+                return (film.incremental_avg_int(bitmap, rgb, s + 1),
+                        rays + r), None
+            init = (jnp.zeros((u.shape[0],), jnp.int32),
+                    jnp.zeros((), jnp.int32))
+        else:
+            def body(carry, s):
+                accum, rays = carry
+                rgb, r = sample_pixels(scene, camera, config, key, s, u, v,
+                                       pids, max_point=max_point)
+                return (film.incremental_avg_float(accum, rgb, s + 1),
+                        rays + r), None
+            init = (jnp.zeros((u.shape[0], 3), jnp.float32),
+                    jnp.zeros((), jnp.int32))
+        (acc, rays), _ = jax.lax.scan(body, init, jnp.arange(config.spp))
         # Ray counts are per-shard; reduce so every shard returns the total.
         rays = jax.lax.psum(rays, axes)
-        return accum, rays
+        return acc, rays
 
     if max_point is None:
         max_point = jnp.ones((3,), jnp.float32)
@@ -130,10 +147,16 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
                   sharded, replicated),
         out_specs=(sharded, replicated),
         check_vma=False)
-    accum, rays = jax.jit(fn)(scene, camera, base_key, u, v, pids, max_point)
+    acc, rays = jax.jit(fn)(scene, camera, base_key, u, v, pids, max_point)
+    if int_parity:
+        bitmap = acc[inv]
+        image = film.unpack_abgr(bitmap)
+    else:
+        image = acc[inv]
+        bitmap = film.quantize_abgr(image)
     return {
-        "image": accum.reshape(h, w, 3),
-        "bitmap": film.quantize_abgr(accum).reshape(h, w),
+        "image": image.reshape(h, w, 3),
+        "bitmap": bitmap.reshape(h, w),
         "rays": rays,
     }
 
@@ -182,8 +205,11 @@ def train_step_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     w, h = config.width, config.height
     n = mesh.devices.size
     assert (w * h) % n == 0
-    u, v, pids = _full_uv_grid(config)
-    target = target_image.reshape(w * h, 3)
+    u, v, pids, _ = _lane_order(config)
+    # Targets permute into the same patch-major lane order as the render
+    # (the summed loss is permutation-invariant, so loss/grads match the
+    # row-major formulation bitwise up to reduction order).
+    target = target_image.reshape(w * h, 3)[pids]
     if max_point is None:
         max_point = jnp.ones((3,), jnp.float32)
 

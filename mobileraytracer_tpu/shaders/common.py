@@ -127,7 +127,8 @@ def bind_material(scene: Scene, hit: Hit):
 def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
                     samples_light: int, shadows: bool,
                     occluded_fn=None, mask=None,
-                    share_mask=None, coherent: bool = False) -> jnp.ndarray:
+                    share_mask=None, share_width: int = 16,
+                    coherent: bool = False) -> jnp.ndarray:
     """Next-event estimation for diffuse hits.
 
     Per sample: pick a uniform light (Shader.cpp:223-233), take its position
@@ -164,13 +165,12 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
         # bounces run through the compacted wavefront (engine.py), where
         # execution grouping depends on batch size — a per-lane pick keeps
         # the image invariant to sharding and compaction layout.
-        # Coherent (primary) batches share per 128-ray traversal TILE so
-        # the whole tile's shadow bundle converges on one light point and
-        # the tile-granular kernel sees a single tight cone; incoherent
-        # batches share per 16-ray subtile (the banded kernel's hull
-        # granularity).  Either width keeps every pixel's marginal sample
-        # uniform, so the estimator stays unbiased.
-        st = 128 if coherent else 16
+        # The lane-group width sharing one light sample is a SAMPLING
+        # POLICY (RenderConfig.nee_share): 16 = the banded subtile hull,
+        # 128 = one tile-kernel cone (the production TPU setting).  Any
+        # width keeps every pixel's marginal sample uniform (unbiased);
+        # batches not divisible by the width skip sharing.
+        st = share_width
         if b % st == 0:
             def subtile_share(k):
                 shared = jnp.repeat(k.reshape(b // st, st, -1)[:, 0], st, 0)

@@ -286,7 +286,7 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
                 scene, hit, nee_keys, config.samples_light,
                 shadows=(shader != C.SHADER_NOSHADOWS),
                 occluded_fn=tracer.occluded, mask=diffuse,
-                share_mask=(it == 0), coherent=primary)
+                share_mask=(it == 0), share_width=config.nee_share)
             ld = kd * ld_sum / jnp.float32(config.samples_light)
             has_l = scene.lights.num > 0
             ld = jnp.where((diffuse & has_l)[:, None], ld, 0.0)

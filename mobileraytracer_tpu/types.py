@@ -338,6 +338,18 @@ class RenderConfig:
     # haltonseq, mersenne, pcg, static_haltonseq, static_mersenne,
     # static_pcg (samplers.py; reference app/Components/Samplers/*.cpp).
     pixel_sampler: str = "prng"
+    # Width of the lane group sharing one NEE light pick/point on the
+    # FIRST bounce (shaders/common.direct_lighting): every pixel's
+    # marginal sample stays uniform, so any width is unbiased — wider
+    # groups trade sample decorrelation for shadow-bundle coherence
+    # (128 = one tile-kernel bundle per light cone; the production TPU
+    # bench setting).  16 (the banded subtile) keeps the sample stream
+    # identical to round 3.  Like the reference's shared atomic sampler
+    # cursors (Sampler.hpp:58-63), this is a sampling policy, not an
+    # execution detail: images are invariant to sharding/compaction for
+    # any fixed width, provided every shard holds a multiple of the
+    # width (renderer and parallel/mesh.py both shard patch-major lanes).
+    nee_share: int = 16
 
     def resolved_max_walk_iters(self) -> int:
         if self.max_walk_iters is not None:

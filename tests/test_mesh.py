@@ -36,6 +36,40 @@ def test_sharded_render_matches_single_device():
     assert int(ref["rays"]) == int(out["rays"])
 
 
+def test_sharded_bvh_render_bit_identical():
+    """The sharded frame must be BIT-identical to the unsharded one on the
+    block-BVH path: shards receive contiguous patch-major lane ranges, so
+    every traversal tile sees the same 128-ray bundle sharded or not
+    (VERDICT r3: row-major sharding destroyed the coherent order)."""
+    from mobileraytracer_tpu.ops import block_bvh
+    scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
+    scene = block_bvh.build(scene)
+    cfg = RenderConfig(width=32, height=32, spp=2, shader=C.SHADER_WHITTED,
+                       accelerator=C.ACC_BVH)
+    key = jax.random.PRNGKey(0)
+    ref = render_frame(scene, cam, cfg, key)
+    m = pmesh.make_mesh()
+    out = pmesh.render_frame_sharded(scene, cam, cfg, key, m)
+    np.testing.assert_array_equal(np.asarray(ref["bitmap"]),
+                                  np.asarray(out["bitmap"]))
+    assert int(ref["rays"]) == int(out["rays"])
+
+
+def test_sharded_int_parity_accumulation():
+    """int_parity accumulation (the reference's int-packed incremental
+    average) through the sharded path: bitwise equal to the unsharded
+    int-parity frame."""
+    scene, cam = scenes.load_builtin(C.SCENE_CORNELL, 1.0)
+    cfg = RenderConfig(width=32, height=32, spp=3, shader=C.SHADER_WHITTED,
+                       accelerator=C.ACC_NAIVE, accumulation="int_parity")
+    key = jax.random.PRNGKey(0)
+    ref = render_frame(scene, cam, cfg, key)
+    m = pmesh.make_mesh()
+    out = pmesh.render_frame_sharded(scene, cam, cfg, key, m)
+    np.testing.assert_array_equal(np.asarray(ref["bitmap"]),
+                                  np.asarray(out["bitmap"]))
+
+
 def test_sharded_render_subset_mesh():
     scene, cam = scenes.load_builtin(C.SCENE_SPHERES2, 1.0)
     cfg = RenderConfig(width=32, height=32, spp=1, shader=C.SHADER_WHITTED,

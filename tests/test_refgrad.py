@@ -39,15 +39,15 @@ CH = 0
 EPS = 0.05
 
 
-def ref_loss(delta, runs=4):
+def ref_loss(delta, runs=4, shader=1):
     """Mean loss over `runs` independent reference renders at kd+delta."""
     losses = []
     base_kd = None
     for i in range(runs):
         out = f"/tmp/refgrad_{os.getpid()}_{i}.bin"
         proc = subprocess.run(
-            [str(DRIVER), "2", "1", str(SPP), "1", str(SIZE), str(SIZE),
-             "3", str(MAT_IDX), str(CH), repr(delta), out],
+            [str(DRIVER), "2", str(shader), str(SPP), "1", str(SIZE),
+             str(SIZE), "3", str(MAT_IDX), str(CH), repr(delta), out],
             capture_output=True, text=True, timeout=300)
         assert proc.returncode == 0, proc.stderr[-500:]
         for line in proc.stdout.splitlines():
@@ -101,3 +101,44 @@ def test_kd_gradient_matches_reference_fd():
     # and the eps-nonlinearity of the clip; ad carries ours.
     assert abs(ad - fd) < max(0.15 * abs(fd), 0.01), (
         f"AD {ad:.5f} vs reference FD {fd:.5f}")
+
+
+@pytest.mark.slow
+def test_kd_gradient_matches_reference_fd_pathtracer():
+    """The flagship differentiable shader's kd-gradient vs central
+    differences of the reference PathTracer (refgold/graddriver.cpp:74-79
+    builds shader=2).  Russian roulette + cosine-hemisphere sampling make
+    the reference FD far noisier than the Whitted case, so both sides
+    average more runs and the tolerance is looser."""
+    scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
+    scene = jax.device_put(scene)
+    cfg = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                       shader=C.SHADER_PATHTRACER, accelerator=C.ACC_NAIVE,
+                       scene_id=C.SCENE_CORNELL2)
+
+    lo, base_kd = ref_loss(+EPS, runs=8, shader=2)
+    hi, _ = ref_loss(-EPS, runs=8, shader=2)
+    fd = (lo - hi) / (2 * EPS)
+
+    ours_kd = np.asarray(scene.materials.kd)[MAT_IDX]
+    np.testing.assert_allclose(ours_kd, base_kd, atol=1e-6,
+                               err_msg="material index mapping diverged")
+
+    kd0 = jnp.asarray(scene.materials.kd)
+
+    def loss_fn(kd, key):
+        s2 = scene.replace(materials=scene.materials.replace(kd=kd))
+        accum = jnp.zeros((SIZE * SIZE, 3), jnp.float32)
+        for s in range(SPP):
+            rgb, _ = render_sample(s2, cam, cfg, key, s,
+                                   differentiable=True)
+            accum = accum + rgb
+        return jnp.mean(jnp.clip(accum / SPP, 0.0, 1.0))
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    grads = [np.asarray(grad_fn(kd0, jax.random.PRNGKey(seed)))[MAT_IDX, CH]
+             for seed in range(4)]
+    ad = float(np.mean(grads))
+
+    assert abs(ad - fd) < max(0.3 * abs(fd), 0.02), (
+        f"AD {ad:.5f} vs reference PathTracer FD {fd:.5f}")
