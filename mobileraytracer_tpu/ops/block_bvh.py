@@ -358,7 +358,7 @@ def build(scene: Scene, block_size: int = DEFAULT_BLOCK_SIZE,
 
 
 def intersect_scene_blocks(scene: Scene, o, d, prev_kind, prev_id,
-                           t_max=_BIG) -> Hit:
+                           t_max=_BIG, differentiable: bool = False) -> Hit:
     grid = scene.bvh
     assert isinstance(grid, BlockGrid), "call ops.block_bvh.build first"
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
@@ -366,6 +366,12 @@ def intersect_scene_blocks(scene: Scene, o, d, prev_kind, prev_id,
     t_sp, id_sp = nv.closest_spheres(scene.spheres, o, d, tm, prev_kind, prev_id)
     t_tr, id_tr = traverse_closest(grid, scene.triangles, o, d, tm,
                                    prev_kind, prev_id)
+    if differentiable:
+        # The traversal walks frozen block tables (no gradient path); the
+        # winner's t is re-derived from the live triangle table so hit
+        # points/normals/uvs differentiate w.r.t. vertex parameters.
+        id_tr = jax.lax.stop_gradient(id_tr)
+        t_tr = nv.recompute_tri_t(scene.triangles, o, d, id_tr)
     t_tr = jnp.where(id_tr >= 0, t_tr, _BIG)
     t_li, id_li = nv.closest_lights(scene.lights, o, d, tm, prev_kind, prev_id)
     return nv._fill_hit(scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,

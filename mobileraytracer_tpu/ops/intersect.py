@@ -375,6 +375,18 @@ def _fill_hit(scene: Scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
                normal=normal, uv=uv, light_le=light_le)
 
 
+def recompute_tri_t(tris: Triangles, o, d, tid):
+    """Differentiable hit distance for known winning triangles (one id per
+    ray, -1 = miss): the accelerator's integer winner re-derived from the
+    LIVE triangle table, so d(t)/d(vertices) flows even though the
+    traversal itself ran under stop_gradient on frozen tables (the
+    differentiable-render path of the BVH tracers)."""
+    gid = jnp.maximum(tid, 0)
+    t, ok = _mt_components(o, d, tris.point_a[gid], tris.ab[gid],
+                           tris.ac[gid])
+    return jnp.where((tid >= 0) & ok, t, _BIG)
+
+
 def _tri_barycentrics(o, d, pa, ab, ac):
     """Recomputes (u, v) for known triangle rows (one per ray)."""
     p = jnp.cross(d, ac)

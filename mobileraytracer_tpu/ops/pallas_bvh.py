@@ -1260,13 +1260,28 @@ DEFAULT_MODE = "tilemt"
 
 
 def intersect_scene_pallas(scene: Scene, o, d, prev_kind, prev_id,
-                           t_max=_BIG, mode: str = None) -> Hit:
+                           t_max=_BIG, mode: str = None,
+                           differentiable: bool = False) -> Hit:
     grid = scene.bvh
     assert isinstance(grid, PallasGrid), "call ops.pallas_bvh.build first"
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
     t_pl, id_pl = nv.closest_planes(scene.planes, o, d, tm, prev_kind, prev_id)
     t_sp, id_sp = nv.closest_spheres(scene.spheres, o, d, tm, prev_kind, prev_id)
     trav = _TRAVERSALS[mode or DEFAULT_MODE]
+    if differentiable:
+        # The Pallas kernels have no VJP; run them fully off the gradient
+        # path and re-derive the winner's t from the live triangle table
+        # (gradients then flow through hit attributes, not the walk).
+        t_tr, id_tr = jax.lax.stop_gradient(
+            trav(grid, jax.lax.stop_gradient(scene.triangles),
+                 jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+                 tm, prev_kind, prev_id))
+        t_tr = nv.recompute_tri_t(scene.triangles, o, d, id_tr)
+        t_tr = jnp.where(id_tr >= 0, t_tr, _BIG)
+        t_li, id_li = nv.closest_lights(scene.lights, o, d, tm, prev_kind,
+                                        prev_id)
+        return nv._fill_hit(scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr,
+                            id_tr, t_li, id_li)
     t_tr, id_tr = trav(grid, scene.triangles, o, d, tm, prev_kind, prev_id)
     t_tr = jnp.where(id_tr >= 0, t_tr, _BIG)
     t_li, id_li = nv.closest_lights(scene.lights, o, d, tm, prev_kind, prev_id)

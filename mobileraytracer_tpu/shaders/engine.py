@@ -47,7 +47,7 @@ class Tracer(NamedTuple):
     occluded: Callable  # (scene, o, d, max_dist, prev_kind, prev_id) -> bool
 
 
-def make_tracer(config: RenderConfig) -> Tracer:
+def make_tracer(config: RenderConfig, differentiable: bool = False) -> Tracer:
     if config.accelerator in (C.ACC_NONE, C.ACC_NAIVE):
         return Tracer(
             closest=lambda *a, **k: intersect.intersect_scene_naive(*a),
@@ -80,13 +80,20 @@ def make_tracer(config: RenderConfig) -> Tracer:
         def closest(scene, o, d, pk, pi, coherent=False):
             if isinstance(scene.bvh, pallas_bvh.PallasGrid):
                 mode = "tilemt" if coherent else "banded"
-                return pallas_bvh.intersect_scene_pallas(scene, o, d, pk, pi,
-                                                         mode=mode)
+                return pallas_bvh.intersect_scene_pallas(
+                    scene, o, d, pk, pi, mode=mode,
+                    differentiable=differentiable)
             if isinstance(scene.bvh, block_bvh.BlockGrid):
-                return block_bvh.intersect_scene_blocks(scene, o, d, pk, pi)
+                return block_bvh.intersect_scene_blocks(
+                    scene, o, d, pk, pi, differentiable=differentiable)
             return bvh_ops.intersect_scene_bvh(scene, o, d, pk, pi)
 
         def occluded(scene, o, d, md, pk, pi, coherent=False):
+            if differentiable:
+                # Occlusion is boolean (no gradient path); keep the
+                # traversal entirely off the AD tape.
+                sg = jax.lax.stop_gradient
+                scene, o, d, md = sg(scene), sg(o), sg(d), sg(md)
             if isinstance(scene.bvh, pallas_bvh.PallasGrid):
                 mode = "tilemt" if coherent else "banded"
                 return pallas_bvh.occluded_pallas(scene, o, d, md, pk, pi,
@@ -497,7 +504,7 @@ def trace_image_sample(scene: Scene, config: RenderConfig, o, d, keys,
                        max_point=None, differentiable: bool = False):
     """Radiance for one sample of every pixel, dispatching on the shader id
     the way C_wrapper.cpp:154-194 does."""
-    tracer = make_tracer(config)
+    tracer = make_tracer(config, differentiable=differentiable)
     if config.shader == C.SHADER_DEPTHMAP:
         if max_point is None:
             max_point = jnp.ones((3,), jnp.float32)

@@ -119,6 +119,28 @@ def test_edge_budget_sampling_approximates_full_gradient():
 
 
 @pytest.mark.slow
+def test_vertex_gradient_through_block_bvh_matches_naive():
+    """The differentiable-render path of the BVH tracers (traversal under
+    stop_gradient + live-table t recompute, ops/block_bvh.py) must give
+    the same vertex gradients as the naive tracer."""
+    from mobileraytracer_tpu.ops import block_bvh
+    scene, cam = _one_tri_scene()
+    cfg_n = RenderConfig(width=64, height=64, spp=1,
+                         shader=C.SHADER_DIFFUSE, accelerator=C.ACC_NAIVE)
+    _, g_n = vertex_grad(scene, cam, cfg_n, jax.random.PRNGKey(0),
+                         edge_samples=32, edge_eps=5e-4)
+    scene_b = block_bvh.build(scene)
+    cfg_b = RenderConfig(width=64, height=64, spp=1,
+                         shader=C.SHADER_DIFFUSE, accelerator=C.ACC_BVH)
+    _, g_b = vertex_grad(scene_b, cam, cfg_b, jax.random.PRNGKey(0),
+                         edge_samples=32, edge_eps=5e-4)
+    for k in g_n:
+        np.testing.assert_allclose(np.asarray(g_b[k])[0],
+                                   np.asarray(g_n[k])[0],
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_shadow_boundary_gradient_matches_finite_differences():
     """VERDICT r3 item 4b: a blocker OUTSIDE the camera frustum casts a
     shadow INTO the view; moving its vertex changes the image only through
