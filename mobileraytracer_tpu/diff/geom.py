@@ -141,12 +141,39 @@ def scene_with_vertices(scene: Scene, verts: Dict[str, jnp.ndarray]) -> Scene:
 
 
 def _mean_radiance(scene: Scene, camera: Camera, config: RenderConfig,
-                   q: jnp.ndarray, keys) -> jnp.ndarray:
-    """Mean radiance of rays through factor points q (B, 2)."""
-    o, d = rays_from_factors(camera, q)
-    rgb, _ = trace_image_sample(scene, config, o, d, keys,
-                                differentiable=True)
-    return rgb
+                   q: jnp.ndarray, keys, mesh=None) -> jnp.ndarray:
+    """Mean radiance of rays through factor points q (B, 2).  With `mesh`,
+    the ray batch shards over the devices (scene replicated, lanes split —
+    the BASELINE #5 multi-chip probe layout); results are identical to the
+    unsharded evaluation (counter-based keys)."""
+    if mesh is None:
+        o, d = rays_from_factors(camera, q)
+        rgb, _ = trace_image_sample(scene, config, o, d, keys,
+                                    differentiable=True)
+        return rgb
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n = mesh.devices.size
+    b = q.shape[0]
+    bp = -(-b // n) * n
+    if bp != b:
+        q = jnp.concatenate(
+            [q, jnp.zeros((bp - b, 2), q.dtype)], 0)
+        keys = jnp.concatenate([keys, keys[:1].repeat(bp - b, 0)], 0)
+    axes = tuple(mesh.axis_names)
+
+    def fn(scene, camera, q, keys):
+        o, d = rays_from_factors(camera, q)
+        rgb, _ = trace_image_sample(scene, config, o, d, keys,
+                                    differentiable=True)
+        return rgb
+
+    sh = P(axes)
+    out = shard_map(fn, mesh=mesh, in_specs=(P(), P(), sh, sh),
+                    out_specs=sh, check_vma=False)(scene, camera, q, keys)
+    return out[:b]
 
 
 def edge_topology(tris: Triangles, quantum: float = 1e-5) -> "np.ndarray":
@@ -377,7 +404,8 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
                 spp: int = 1, edge_keep=None,
                 edge_budget: int = None,
                 shadow_edges: bool = False,
-                shadow_budget: int = 256
+                shadow_budget: int = 256,
+                mesh=None
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Gradient of L = mean(image) w.r.t. every triangle vertex.
 
@@ -410,7 +438,7 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
         s2 = scene_with_vertices(scene, vt)
         qs = jnp.stack([fast_arctan(camera.param_u * (u - 0.5)),
                         fast_arctan(camera.param_v * (0.5 - v))], axis=-1)
-        rgb = _mean_radiance(s2, camera, config, qs, keys)
+        rgb = _mean_radiance(s2, camera, config, qs, keys, mesh=mesh)
         return jnp.mean(rgb)
 
     loss, g_int = jax.value_and_grad(interior_loss)(verts)
@@ -469,8 +497,9 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
     e_total = probe_in.shape[0]
     pkeys = sampling.ray_key(base_key, jnp.arange(e_total, dtype=jnp.int32),
                              1)
-    l_in = _mean_radiance(scene, camera, config, probe_in, pkeys)
-    l_out = _mean_radiance(scene, camera, config, probe_out, pkeys)
+    l_in = _mean_radiance(scene, camera, config, probe_in, pkeys, mesh=mesh)
+    l_out = _mean_radiance(scene, camera, config, probe_out, pkeys,
+                           mesh=mesh)
     dl = jnp.mean(l_in - l_out, axis=-1).reshape(-1, edge_samples)
 
     # Pixel-density weight: the jitter box has width 1/w x 1/h in factor

@@ -119,6 +119,28 @@ def test_edge_budget_sampling_approximates_full_gradient():
 
 
 @pytest.mark.slow
+def test_vertex_gradient_sharded_matches_unsharded():
+    """vertex_grad(mesh=...) shards the interior pixel batch and boundary
+    probes over the virtual CPU mesh; gradients must match the unsharded
+    evaluation (BASELINE #5's multi-chip probe layout)."""
+    from mobileraytracer_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    scene, cam = _one_tri_scene()
+    cfg = RenderConfig(width=64, height=64, spp=1, shader=C.SHADER_DIFFUSE,
+                       accelerator=C.ACC_NAIVE)
+    _, g1 = vertex_grad(scene, cam, cfg, jax.random.PRNGKey(0),
+                        edge_samples=16, edge_eps=5e-4)
+    m = pmesh.make_mesh()
+    _, g8 = vertex_grad(scene, cam, cfg, jax.random.PRNGKey(0),
+                        edge_samples=16, edge_eps=5e-4, mesh=m)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g8[k])[0],
+                                   np.asarray(g1[k])[0],
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_vertex_gradient_through_block_bvh_matches_naive():
     """The differentiable-render path of the BVH tracers (traversal under
     stop_gradient + live-table t recompute, ops/block_bvh.py) must give
