@@ -715,11 +715,19 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     # per ray, the entry bound below which every block has been visited.
     floor_r = jnp.repeat(cut, ST)
     floor_r = jnp.where(jnp.arange(bp) >= b, _BIG, floor_r)  # filler lanes
+    if any_hit:
+        # Any blocker settles an occlusion query: rays with a hit below
+        # their cap are RESOLVED regardless of the window cutoff (without
+        # this, occluded rays whose cut undershoots the blocker distance
+        # re-walk through the refill hunting for a closer hit nobody
+        # needs; small measured effect on conference — most blockers sit
+        # inside the first window's cut — but strictly less work).
+        floor_r = jnp.where(t < rays[:, 6], _BIG, floor_r)
 
     # Banded batches may be incoherent (the compacted walker tail): full
     # windows with near-zero cuts leave most rays unresolved there, so the
     # per-ray windowed refill (cheap, tight per-ray windows) does the bulk
-    # and the bounded naive sweep only catches its pathological tail.
+    # of what window 1 left unresolved.
     t, sid = _refill_exact(grid, rays, t, sid, floor_r, any_hit, interp, bp)
 
     t = t[:b]
