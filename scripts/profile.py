@@ -33,7 +33,7 @@ def cached_conference(lanes=128):
     from mobileraytracer_tpu.ops import pallas_bvh
 
     scene, cam, info = conference_proxy()
-    path = f"/root/repo/.cache/conf_lanes{lanes}_v3.pkl"
+    path = f"/root/repo/.cache/conf_lanes{lanes}_v4.pkl"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if os.path.exists(path):
         with open(path, "rb") as f:
@@ -41,7 +41,8 @@ def cached_conference(lanes=128):
         tris2 = jax.tree.map(jnp.asarray, blob["tris"])
         grid = pallas_bvh.PallasGrid(
             **{k: jnp.asarray(v) for k, v in blob["grid"].items()},
-            top_s=blob["top_s"], top_m=blob["top_m"])
+            top_s=blob["top_s"], top_m=blob["top_m"],
+            t_margin=blob["t_margin"])
         scene = scene.replace(triangles=tris2, bvh=grid)
     else:
         scene = pallas_bvh.build(scene, lanes=lanes)
@@ -49,9 +50,9 @@ def cached_conference(lanes=128):
         blob = {
             "tris": jax.tree.map(np.asarray, scene.triangles),
             "grid": {k: np.asarray(getattr(g, k)) for k in
-                     ("super_lo", "super_hi", "blocks_packed", "tb",
+                     ("super_lo", "super_hi", "blocks_packed", "tb", "tw",
                       "tri_attr")},
-            "top_s": g.top_s, "top_m": g.top_m,
+            "top_s": g.top_s, "top_m": g.top_m, "t_margin": g.t_margin,
         }
         with open(path, "wb") as f:
             pickle.dump(blob, f)
@@ -74,7 +75,8 @@ def main():
           f"top_m={grid.top_m}", flush=True)
 
     cfg = RenderConfig(width=512, height=512, spp=1,
-                       shader=C.SHADER_WHITTED, accelerator=C.ACC_BVH)
+                       shader=C.SHADER_WHITTED, accelerator=C.ACC_BVH,
+                       nee_share=128)
     u, v, pids, _ = _pixel_order(cfg)
     o, d = generate_rays(cam, u, v, jnp.zeros_like(u), jnp.zeros_like(v))
     b = o.shape[0]
@@ -114,7 +116,14 @@ def main():
                              C.RAY_LENGTH_MAX, pk, pi)
         return jnp.sum(t)
 
-    prof("traverse closest (cand+kernel+refill)", closest_body)
+    prof("traverse closest banded (cand+kernel+refill)", closest_body)
+
+    def closest_tile_body(k, i):
+        t, idx = pb.traverse_tilemt(grid, scene.triangles, vary_o(i), d,
+                                    C.RAY_LENGTH_MAX, pk, pi)
+        return jnp.sum(t)
+
+    prof("traverse closest tile-MT (production)", closest_tile_body)
 
     def scene_closest(k, i):
         h = tracer.closest(scene, vary_o(i), d, pk, pi)
