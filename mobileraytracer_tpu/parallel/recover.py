@@ -36,7 +36,9 @@ def make_recovery_step(scene: Scene, camera: Camera, config: RenderConfig,
     opt = optax.adam(learning_rate)
 
     w, h = config.width, config.height
-    u, v, pids = pmesh._full_uv_grid(config)
+    # Patch-major lane order (parallel/mesh.py): shards stay coherent
+    # 128-ray tiles; targets permute into the same order below.
+    u, v, pids, _ = pmesh._lane_order(config)
     if max_point is None:
         max_point = jnp.ones((3,), jnp.float32)
     denom = float(w * h * 3)
@@ -62,7 +64,8 @@ def make_recovery_step(scene: Scene, camera: Camera, config: RenderConfig,
     @jax.jit
     def step_fn(state, key, target):
         params, opt_state = state
-        loss, grads = sharded_grad(params, key, target.reshape(w * h, 3),
+        loss, grads = sharded_grad(params, key,
+                                   target.reshape(w * h, 3)[pids],
                                    u, v, pids)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
