@@ -77,14 +77,34 @@ def main():
     # (reps - 1) subtracts the fetch/dispatch constant.
     import jax.numpy as jnp
 
-    @jax.jit
-    def frames(n):
-        def body(i, carry):
-            out = render_frame(scene, cam, cfg,
-                               jax.random.fold_in(key, i + carry[1] * 0))
-            return (carry[0] * 1e-20 + jnp.sum(out["image"]),
-                    carry[1] + out["rays"])
-        return jax.lax.fori_loop(0, n, body, (jnp.zeros(()), jnp.zeros((), jnp.int32)))
+    from mobileraytracer_tpu.renderer import (DISPATCH_UNIT_BUDGET,
+                                              _dispatch_cost,
+                                              render_frame_auto)
+
+    if _dispatch_cost(cfg) <= DISPATCH_UNIT_BUDGET:
+        @jax.jit
+        def frames(n):
+            def body(i, carry):
+                out = render_frame(scene, cam, cfg,
+                                   jax.random.fold_in(key, i + carry[1] * 0))
+                return (carry[0] * 1e-20 + jnp.sum(out["image"]),
+                        carry[1] + out["rays"])
+            return jax.lax.fori_loop(0, n, body,
+                                     (jnp.zeros(()), jnp.zeros((), jnp.int32)))
+    else:
+        # Big configs (512^2/16spp PathTracer, big grid frames) self-chunk
+        # into per-sample dispatches (render_frame_auto) instead of one
+        # watchdog-killing mega-dispatch; dispatches pipeline through the
+        # relay (no per-step fetch), so (T(n)-T(1))/(n-1) still isolates
+        # steady-state frame time.
+        def frames(n):
+            rays = jnp.zeros((), jnp.int32)
+            out = None
+            for i in range(int(n)):
+                out = render_frame_auto(scene, cam, cfg,
+                                        jax.random.fold_in(key, i))
+                rays = rays + out["rays"]
+            return jnp.sum(out["image"]), rays
 
     _, r1 = frames(1)
     rays_per_frame = int(r1)  # compile + warm the relay

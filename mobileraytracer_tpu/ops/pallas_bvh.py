@@ -207,6 +207,13 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         tw[bi, 4, :cnt] = va[sl]
         tw[bi, 4, lanes:lanes + cnt] = np.arange(f0, f0 + cnt,
                                                  dtype=np.float32)
+        # |ab x ac| per lane: the exact Moller-Trumbore det equals
+        # (n_hat . d) * |n_vec|, so acceptance gates in the kernel must
+        # compare |nd| * nlen (not bare |nd|) against EPSILON — bare-|nd|
+        # gates silently drop exact hits on triangles with |n_vec| > 2
+        # (advisor finding, round 4).
+        tw[bi, 4, 2 * lanes:2 * lanes + cnt] = np.sqrt(
+            np.maximum(n_sq[sl], 0.0)).astype(np.float32)
 
     packed = np.zeros((k1, 8, bps), np.float32)
     packed[:, 0:3] = np.moveaxis(bmin_p, 2, 1)
@@ -747,7 +754,9 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
 # scalar exit tests per round.  This kernel restructures the walk at
 # 128-ray TILE granularity so each round is ONE block DMA plus ONE MXU
 # contraction: with per-triangle Baldwin-Weber rows [n_hat|d_n],
-# [w_u|c_u], [w_v|c_v] (precomputed in build_blocks, block-local frame),
+# [w_u|c_u], [w_v|c_v] (precomputed in build_blocks in the GLOBAL frame,
+# f64 — so the affine evaluation's cancellation error is O(ulp x scene
+# extent), which is exactly what the global t_margin covers),
 # the six per-pair dot products {o,d}x{n,u,v} come out of a single
 # (2*TILE, 8) x (8, 3*LANES) matmul, and the VPU epilogue is ~15 ops:
 #     t = -(n.o' + d_n) / (n.d);  u = u_o + t*u_d;  v = v_o + t*v_d
@@ -814,7 +823,7 @@ def _make_tile_kernel(m: int, any_hit: bool, tmg: float):
             return carry[-1]
 
         def body(carry):
-            r, t1, s1, t2, s2, t3, ts_m, ts_s, alive = carry
+            r, t1, s1, t2, s2, t3, ts_m, ts_s, amb, alive = carry
             sl = jax.lax.rem(r, nslots)
             pltpu.make_async_copy(tb_ref.at[gid_ref[0, 0, r]],
                                   scratch.at[sl], sem.at[sl]).wait()
@@ -843,17 +852,33 @@ def _make_tile_kernel(m: int, any_hit: bool, tmg: float):
             tvalid = tr[4:5, 0:ln] > 0.5
             slot_b = jnp.broadcast_to(tr[4:5, ln:2 * ln], t.shape)
             base = tvalid & (slot_b != prev)
-            loose = (base & (jnp.abs(nd) >= 0.5 * C.EPSILON)
+            # The exact Moller-Trumbore det is (n_hat . d) * |n_vec|, so
+            # the det gate compares the unnormalized scale det_s =
+            # |nd| * |n_vec| against EPSILON (factor-2 margin covering the
+            # contraction error).  Lanes whose det_s passes but whose bare
+            # |nd| is tiny (|n_vec| > ~2) have an untrustworthy t (the
+            # division conditioning the margins were derived for no longer
+            # holds): they are recorded in `amb` and their rays re-walked
+            # exactly outside the kernel instead of being silently dropped
+            # (advisor finding, round 4).
+            nlen = jnp.broadcast_to(tr[4:5, 2 * ln:3 * ln], t.shape)
+            det_s = jnp.abs(nd) * nlen
+            well_cond = jnp.abs(nd) >= 0.5 * C.EPSILON
+            loose = (base & (det_s >= 0.5 * C.EPSILON) & well_cond
                      & (u >= -_MU) & (v >= -_MU) & (u + v <= 1.0 + _MU)
                      & (t >= C.EPSILON - tmg)
                      & (t <= cap * (1.0 + _TREL) + tmg))
+            amb_lane = base & (det_s >= 0.5 * C.EPSILON) & ~well_cond
+            amb = jnp.maximum(
+                amb, jnp.max(jnp.where(amb_lane, 1.0, 0.0), axis=1,
+                             keepdims=True))
             # Strict acceptance = margins negated: the pair provably
             # passes the exact test, so its t (+error) is a SOUND upper
             # bound on the exact winner.  Only strict hits may drive the
             # early exit — a loose-only accept can be an artifact (e.g. a
             # coplanar surface through the ray origin evaluating to t=-0)
             # and must never truncate the walk.
-            strict = (base & (jnp.abs(nd) >= 1.5 * C.EPSILON)
+            strict = (base & (det_s >= 1.5 * C.EPSILON) & well_cond
                       & (u >= _MU) & (v >= _MU) & (u + v <= 1.0 - _MU)
                       & (t >= C.EPSILON + tmg)
                       & (t <= cap * (1.0 - _TREL) - tmg))
@@ -915,7 +940,7 @@ def _make_tile_kernel(m: int, any_hit: bool, tmg: float):
             nxt_idx = jnp.minimum(r + 1, m - 1)
             past = r + 1 >= m
             done = past | (entry_ref[0, 0, nxt_idx] >= t_worst)
-            return (r + 1, t1, s1, t2, s2, t3, ts_m, ts_s, ~done)
+            return (r + 1, t1, s1, t2, s2, t3, ts_m, ts_s, amb, ~done)
 
         shp = (TILE, 1)
         init = (jnp.int32(0),
@@ -926,8 +951,9 @@ def _make_tile_kernel(m: int, any_hit: bool, tmg: float):
                 jnp.full(shp, big2, jnp.float32),
                 jnp.full(shp, big2, jnp.float32),
                 jnp.full(shp, -1.0, jnp.float32),
+                jnp.zeros(shp, jnp.float32),
                 jnp.array(True))
-        (r_fin, t1, s1, t2, s2, t3, ts_m, ts_s,
+        (r_fin, t1, s1, t2, s2, t3, ts_m, ts_s, amb,
          _) = jax.lax.while_loop(cond, body, init)
 
         # Drain in-flight DMAs.
@@ -941,7 +967,7 @@ def _make_tile_kernel(m: int, any_hit: bool, tmg: float):
         rounds = jnp.full(shp, 1.0) * r_fin.astype(jnp.float32)
         out_ref[:] = jnp.concatenate(
             [t1, s1, t2, s2, t3, ts_m, ts_s,
-             rounds, jnp.zeros((TILE, 8), jnp.float32)], axis=1)
+             rounds, amb, jnp.zeros((TILE, 7), jnp.float32)], axis=1)
 
     return kernel
 
@@ -1191,6 +1217,7 @@ def traverse_tile(grid: PallasGrid, tris: Triangles, o, d, t_init,
                                 tmg)
     t1, s1, t2, s2 = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
     t3, ts_m, ts_s = out[:, 4], out[:, 5], out[:, 6]
+    amb = out[:, 8] > 0.5   # saw an ill-conditioned (big-|n_vec|) candidate
     prevf = rays[:, 7]
     t0p = rays[:, 6]
     e1, ok1 = _exact_mt_pair(grid.tri_attr, op, dp, s1, prevf)
@@ -1209,7 +1236,7 @@ def traverse_tile(grid: PallasGrid, tris: Triangles, o, d, t_init,
         # while a third loose accept existed (the kept pair were artifacts
         # that displaced real candidates).
         flag = (((t3 < _BIG) & (t3 <= t2 * (1.0 + 2.0 * _TREL) + 2.0 * tmg))
-                | ((t_ex >= _BIG) & (t3 < _BIG)))
+                | ((t_ex >= _BIG) & (t3 < _BIG)) | amb)
         t_cur = jnp.minimum(t_ex, t0p)
     else:
         occ1 = ok1 & (e1 < t0p)
@@ -1224,7 +1251,7 @@ def traverse_tile(grid: PallasGrid, tris: Triangles, o, d, t_init,
                                   jnp.where(strict_occ, ts_s, -1.0)))
         # A third ambiguous pair exists that the kept two cannot account
         # for -> exact fallback unless already strictly occluded.
-        flag = ~occ & (t3 < _BIG)
+        flag = ~occ & ((t3 < _BIG) | amb)
         floor_r = jnp.where(occ, _BIG, floor_r)  # occluded = resolved
 
     floor_r = jnp.where(flag, -_BIG, floor_r)

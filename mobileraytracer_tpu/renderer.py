@@ -152,6 +152,105 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig,
     }
 
 
+# ---------------------------------------------------------------------------
+# Self-chunking dispatch (VERDICT r4 #4): the tunneled TPU backend's
+# watchdog kills single dispatches in the ~45+ s range (a 512^2/16spp
+# PathTracer frame, a >=128^2 RegularGrid frame).  `render_frame_auto`
+# estimates the dispatch cost and — above a budget — splits the frame into
+# per-sample and, if still too big, per-pixel-chunk dispatches that each
+# stay well under the watchdog, accumulating on-device so the result is
+# numerically identical to `render_frame`'s float32 path (the per-sample
+# loop is the reference's own progressive rendering structure,
+# app/MobileRT/Renderer.cpp:107-170).
+# ---------------------------------------------------------------------------
+
+# Cost units are pixel-samples weighted by measured per-unit cost ratios
+# (v5e, round-4 PERF.md): Whitted/BVH 512^2 1spp ~ 0.12 s -> weight 2;
+# PathTracer ~ 10x Whitted per ray; the RegularGrid DDA is ~500x BVH per
+# pixel.  The budget of 4e6 units keeps each dispatch around ~1 s.
+DISPATCH_UNIT_BUDGET = 4.0e6
+
+_SHADER_COST = {C.SHADER_NOSHADOWS: 1.0, C.SHADER_WHITTED: 2.0,
+                C.SHADER_PATHTRACER: 20.0, C.SHADER_DEPTHMAP: 0.5,
+                C.SHADER_DIFFUSE: 0.5}
+
+
+def _dispatch_cost(config: RenderConfig) -> float:
+    acc_w = 500.0 if config.accelerator == C.ACC_REGULAR_GRID else 1.0
+    return (float(config.width * config.height) * config.spp
+            * _SHADER_COST.get(config.shader, 2.0)
+            * max(config.samples_light, 1) * acc_w)
+
+
+def render_frame_auto(scene: Scene, camera: Camera, config: RenderConfig,
+                      base_key: jax.Array, max_point=None,
+                      budget: float = DISPATCH_UNIT_BUDGET):
+    """`render_frame` with automatic dispatch chunking.  Returns the same
+    dict; small frames take the single fused dispatch, large frames run
+    per-sample (and per-pixel-chunk) dispatches with one final fetch."""
+    config = config.rounded()
+    cost = _dispatch_cost(config)
+    if cost <= budget:
+        return render_frame(scene, camera, config, base_key, max_point)
+
+    w, h = config.width, config.height
+    b = w * h
+    u, v, pids, inv = _pixel_order(config)
+    int_parity = config.accumulation == "int_parity"
+
+    per_sample = cost / config.spp
+    n_chunks = max(1, int(-(-per_sample // budget)))
+    # Chunk = contiguous patch-major lane range, a multiple of the 128-ray
+    # traversal tile (chunk boundaries never split a tile, so traversal
+    # coherence and the nee_share grouping are preserved) that divides the
+    # pixel count exactly — overlapping a lane would re-apply its running
+    # mean update (not idempotent) and double-count its rays.
+    unit = C.SUBTILE * max(1, 128 // C.SUBTILE)
+    n_units = b // unit
+    per = max(1, n_units // n_chunks)
+    while n_units % per:
+        per -= 1
+    chunk = per * unit
+    n_chunks = n_units // per
+
+    @partial(jax.jit, static_argnames=())
+    def step(scene, camera, key, acc, rays, s, start):
+        uc = jax.lax.dynamic_slice(u, (start,), (chunk,))
+        vc = jax.lax.dynamic_slice(v, (start,), (chunk,))
+        pc = jax.lax.dynamic_slice(pids, (start,), (chunk,))
+        rgb, r = sample_pixels(scene, camera, config, key, s, uc, vc, pc,
+                               max_point=max_point)
+        if int_parity:
+            accc = jax.lax.dynamic_slice(acc, (start,), (chunk,))
+            accc = film.incremental_avg_int(accc, rgb, s + 1)
+            acc = jax.lax.dynamic_update_slice(acc, accc, (start,))
+        else:
+            accc = jax.lax.dynamic_slice(acc, (start, 0), (chunk, 3))
+            accc = film.incremental_avg_float(accc, rgb, s + 1)
+            acc = jax.lax.dynamic_update_slice(acc, accc, (start, 0))
+        return acc, rays + r
+
+    if int_parity:
+        acc = jnp.zeros((b,), jnp.int32)
+    else:
+        acc = jnp.zeros((b, 3), jnp.float32)
+    rays = jnp.zeros((), jnp.int32)
+    for s in range(config.spp):
+        for ci in range(n_chunks):
+            acc, rays = step(scene, camera, base_key, acc, rays,
+                             jnp.asarray(s), jnp.asarray(ci * chunk))
+
+    if int_parity:
+        bitmap = acc[inv]
+        image = film.unpack_abgr(bitmap)
+    else:
+        image = acc[inv]
+        bitmap = film.quantize_abgr(image)
+    return {"image": image.reshape(h, w, 3),
+            "bitmap": bitmap.reshape(h, w),
+            "rays": rays}
+
+
 class Renderer:
     """Stateful progressive renderer — the L4/engine-driver analogue
     (reference C_wrapper.cpp RayTrace / JNI lifecycle): renders sample by

@@ -33,7 +33,7 @@ def cached_conference(lanes=128):
     from mobileraytracer_tpu.ops import pallas_bvh
 
     scene, cam, info = conference_proxy()
-    path = f"/root/repo/.cache/conf_lanes{lanes}_v4.pkl"
+    path = f"/root/repo/.cache/conf_lanes{lanes}_v5.pkl"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if os.path.exists(path):
         with open(path, "rb") as f:

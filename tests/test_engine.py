@@ -142,3 +142,32 @@ def test_resolution_rounding_contract():
     # rest <= 1 stays (reference roundDownToMultipleOf quirk, Utils.cpp:26-31).
     cfg2 = RenderConfig(width=97, height=96).rounded()
     assert cfg2.width == 97 and cfg2.height == 96
+
+
+@pytest.mark.parametrize("accumulation", ["float32", "int_parity"])
+def test_render_frame_auto_chunked_matches_fused(accumulation):
+    """Self-chunking dispatch (VERDICT r4 #4): forcing a tiny budget splits
+    the frame into per-sample, per-pixel-chunk dispatches; the result must
+    be bitwise identical to the single fused dispatch."""
+    from mobileraytracer_tpu.renderer import render_frame_auto
+
+    scene, cam = scenes.load_builtin(C.SCENE_CORNELL, 1.0)
+    cfg = RenderConfig(width=SIZE, height=SIZE, spp=2,
+                       shader=C.SHADER_WHITTED, accelerator=C.ACC_NAIVE,
+                       accumulation=accumulation)
+    key = jax.random.PRNGKey(0)
+    ref = render_frame(scene, cam, cfg, key)
+    # budget=1 unit -> maximal chunking (per-sample AND per-128-lane-chunk).
+    out = render_frame_auto(scene, cam, cfg, key, budget=1.0)
+    assert np.array_equal(np.asarray(ref["bitmap"]), np.asarray(out["bitmap"]))
+    # The float image may differ by 1 ulp on the int_parity path: the
+    # 8-bit unpack runs inside the fused jit in one case and eager in the
+    # other, and XLA fuses the /255 differently.  The bitmap (the parity
+    # artifact) is compared exactly above.
+    np.testing.assert_allclose(np.asarray(ref["image"]),
+                               np.asarray(out["image"]), atol=3e-7, rtol=0)
+    assert int(ref["rays"]) == int(out["rays"])
+    # And the auto path without a forced budget returns the fused result.
+    out2 = render_frame_auto(scene, cam, cfg, key)
+    assert np.array_equal(np.asarray(ref["bitmap"]),
+                          np.asarray(out2["bitmap"]))
