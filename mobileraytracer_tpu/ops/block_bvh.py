@@ -382,7 +382,8 @@ def occluded_blocks(scene: Scene, o, d, max_dist, prev_kind, prev_id):
     grid = scene.bvh
     assert isinstance(grid, BlockGrid), "call ops.block_bvh.build first"
     t_pl, _ = nv.closest_planes(scene.planes, o, d, max_dist, prev_kind, prev_id)
-    t_sp, _ = nv.closest_spheres(scene.spheres, o, d, max_dist, prev_kind, prev_id)
+    t_sp, _ = nv.closest_spheres(scene.spheres, o, d, max_dist, prev_kind,
+                                 prev_id, exclude_prev=True)
     blocked = traverse_any(grid, scene.triangles, o, d, max_dist,
                            prev_kind, prev_id)
     return blocked | (t_pl < max_dist) | (t_sp < max_dist)

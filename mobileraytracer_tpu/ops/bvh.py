@@ -359,7 +359,8 @@ def intersect_scene_bvh(scene: Scene, o, d, prev_kind, prev_id,
 def occluded_bvh(scene: Scene, o, d, max_dist, prev_kind, prev_id):
     assert scene.bvh is not None, "call ops.bvh.build(scene) first"
     t_pl, _ = nv.closest_planes(scene.planes, o, d, max_dist, prev_kind, prev_id)
-    t_sp, _ = nv.closest_spheres(scene.spheres, o, d, max_dist, prev_kind, prev_id)
+    t_sp, _ = nv.closest_spheres(scene.spheres, o, d, max_dist, prev_kind,
+                                 prev_id, exclude_prev=True)
     blocked = traverse_any(scene.bvh, scene.triangles, o, d, max_dist,
                            prev_kind, prev_id)
     return blocked | (t_pl < max_dist) | (t_sp < max_dist)

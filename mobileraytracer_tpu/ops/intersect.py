@@ -145,13 +145,15 @@ def _closest_planes_small(pla: Planes, o, d, t_max, prev_kind, prev_id):
     return best_t, best_id
 
 
-def _closest_spheres_small(sph: Spheres, o, d, t_max, prev_kind, prev_id):
+def _closest_spheres_small(sph: Spheres, o, d, t_max, prev_kind, prev_id,
+                           exclude_prev=False):
     """Unrolled flat-component sphere scan (same math as sphere_distances)."""
     ox, oy, oz = _components(o)
     dx, dy, dz = _components(d)
     a = dx * dx + dy * dy + dz * dz
     best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), ox.shape)
     best_id = jnp.full(ox.shape, -1, jnp.int32)
+    guard = (prev_kind == C.PRIM_SPHERE) if exclude_prev else None
     for i in range(sph.capacity):
         cx, cy, cz = _components(sph.center[i])
         ocx, ocy, ocz = cx - ox, cy - oy, cz - oz
@@ -162,6 +164,8 @@ def _closest_spheres_small(sph: Spheres, o, d, t_max, prev_kind, prev_id):
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t = jnp.minimum(-b + sq, -b - sq) / (2.0 * a)
         ok = (disc >= 0.0) & (t >= C.EPSILON_LARGE) & sph.valid[i]
+        if guard is not None:
+            ok = ok & ~(guard & (prev_id == i))
         closer = ok & (t < best_t)
         best_t = jnp.where(closer, t, best_t)
         best_id = jnp.where(closer, i, best_id)
@@ -232,10 +236,21 @@ def closest_triangles(tris: Triangles, o, d, t_max, prev_kind, prev_id):
                      jnp.full((o.shape[0],), -1, jnp.int32))
 
 
-def closest_spheres(sph: Spheres, o, d, t_max, prev_kind, prev_id):
+def closest_spheres(sph: Spheres, o, d, t_max, prev_kind, prev_id,
+                    exclude_prev=False):
+    """`exclude_prev=False` matches the reference exactly: spheres carry no
+    self-intersection pointer (Sphere.cpp:77 passes nullptr), EpsilonLarge
+    is the only guard — transmission rays MUST be able to re-hit their own
+    sphere's far side.  Occlusion queries pass `exclude_prev=True`: a
+    convex sphere can never legitimately block its own surface point when
+    cos(N, L) > 0 (the NEE visibility gate), and reversed shadow segments
+    (shaders/common.direct_lighting) end ON the sphere at t ~ max_dist
+    where the forward formulation's t~0 epsilon guard no longer covers the
+    self-hit."""
     n = sph.capacity
     if n <= _SMALL:
-        return _closest_spheres_small(sph, o, d, t_max, prev_kind, prev_id)
+        return _closest_spheres_small(sph, o, d, t_max, prev_kind, prev_id,
+                                      exclude_prev=exclude_prev)
 
     def chunk(start):
         ce = jax.lax.dynamic_slice_in_dim(sph.center, start, min(_CHUNK, n), 0)
@@ -244,8 +259,9 @@ def closest_spheres(sph: Spheres, o, d, t_max, prev_kind, prev_id):
         ids = start + jnp.arange(min(_CHUNK, n), dtype=jnp.int32)
         t = sphere_distances(o, d, ce, sr)
         t = jnp.where(valid[None, :], t, _BIG)
-        # Spheres carry no self-intersection pointer in the reference
-        # (Sphere.cpp:77 passes nullptr); EpsilonLarge is the guard.
+        if exclude_prev:
+            t = jnp.where(((prev_kind == C.PRIM_SPHERE)[:, None]
+                           & (prev_id[:, None] == ids[None, :])), _BIG, t)
         return t, jnp.broadcast_to(ids[None, :], t.shape)
 
     return _scan_min(n, chunk,
@@ -417,7 +433,8 @@ def occluded_naive(scene: Scene, o, d, max_dist, prev_kind, prev_id):
     blocks the light.  Lights themselves never occlude (the reference's
     shadowTrace skips traceLights, Shader.cpp:132-158)."""
     t_pl, _ = closest_planes(scene.planes, o, d, max_dist, prev_kind, prev_id)
-    t_sp, _ = closest_spheres(scene.spheres, o, d, max_dist, prev_kind, prev_id)
+    t_sp, _ = closest_spheres(scene.spheres, o, d, max_dist, prev_kind,
+                              prev_id, exclude_prev=True)
     t_tr, _ = closest_triangles(scene.triangles, o, d, max_dist, prev_kind, prev_id)
     t = jnp.minimum(jnp.minimum(t_pl, t_sp), t_tr)
     return t < max_dist

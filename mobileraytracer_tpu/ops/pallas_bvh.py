@@ -1330,7 +1330,8 @@ def occluded_pallas(scene: Scene, o, d, max_dist, prev_kind, prev_id,
     assert isinstance(grid, PallasGrid), "call ops.pallas_bvh.build first"
     md = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (o.shape[0],))
     t_pl, _ = nv.closest_planes(scene.planes, o, d, md, prev_kind, prev_id)
-    t_sp, _ = nv.closest_spheres(scene.spheres, o, d, md, prev_kind, prev_id)
+    t_sp, _ = nv.closest_spheres(scene.spheres, o, d, md, prev_kind, prev_id,
+                                 exclude_prev=True)
     trav = _TRAVERSALS[mode or DEFAULT_MODE]
     t_tr, id_tr = trav(grid, scene.triangles, o, d, md, prev_kind,
                        prev_id, any_hit=True)

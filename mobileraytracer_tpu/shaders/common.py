@@ -128,7 +128,8 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
                     samples_light: int, shadows: bool,
                     occluded_fn=None, mask=None,
                     share_mask=None, share_width: int = 16,
-                    coherent: bool = False) -> jnp.ndarray:
+                    coherent: bool = False,
+                    reverse: bool = False) -> jnp.ndarray:
     """Next-event estimation for diffuse hits.
 
     Per sample: pick a uniform light (Shader.cpp:223-233), take its position
@@ -139,6 +140,19 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
     radiance (caller multiplies by kD / samplesLight) and the per-lane count
     of shadow rays cast (the reference constructs a Ray — incrementing the
     casted-ray counter — whenever cos(N, L) > 0, Whitted.cpp:51-56).
+
+    `reverse=True` traces each occlusion segment FROM the light point
+    TOWARD the surface (occlusion is symmetric in the segment).  With a
+    shared per-group light point (share_width lanes aim at one L), the
+    reversed bundle has a *point* origin, so the traversal's interval
+    hulls collapse from [hit-point box x direction box] to the exact
+    cone — the hit points of a coherent pixel tile can be scattered
+    across depth discontinuities while L is one point.  The acceptance
+    window maps t_fwd in [eps, dist) to t_rev in [eps, dist - eps]: the
+    eps-guard against surface acne moves to the light end analytically,
+    while the surface's own primitive stays excluded by prev-id; the only
+    semantic difference is blockers within EPSILON of the light point
+    (measure-zero; the emissive surface itself is not in the BVH).
     """
     b = hit.t.shape[0]
     total = jnp.zeros((b, 3), jnp.float32)
@@ -202,9 +216,14 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
         if shadows:
             shadow_rays = shadow_rays + (visible & has_lights).astype(jnp.int32)
             live = visible if mask is None else (mask & visible)
-            org_t, dir_t = park_dead_lanes(origin, ldir, live)
+            if reverse:
+                org_s, dir_s = lpos, -ldir
+                md_s = jnp.maximum(dist - C.EPSILON, 0.0)
+            else:
+                org_s, dir_s, md_s = origin, ldir, dist
+            org_t, dir_t = park_dead_lanes(org_s, dir_s, live)
             blocked = occluded_fn(
-                scene, org_t, dir_t, dist, hit.prim_kind, hit.prim_id,
+                scene, org_t, dir_t, md_s, hit.prim_kind, hit.prim_id,
                 coherent=coherent)
             visible = visible & ~blocked
         contrib = radiance * cos_nl[:, None]

@@ -289,11 +289,25 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         diffuse = cont & common.has_positive(kd)
         if shader in (C.SHADER_WHITTED, C.SHADER_PATHTRACER, C.SHADER_NOSHADOWS):
             nee_keys = sampling.event_key(keys, it, 1)
+            # First-bounce NEE with a shared per-group light point traces
+            # its occlusion segments REVERSED (from the light point toward
+            # the surfaces): the shared origin collapses the traversal's
+            # interval hulls to the exact shadow cone (see
+            # common.direct_lighting).  `coherent` additionally routes the
+            # reversed bundle to the tile-granular kernel when the share
+            # group spans a whole 128-ray tile.
             ld_sum, n_shadow = common.direct_lighting(
                 scene, hit, nee_keys, config.samples_light,
                 shadows=(shader != C.SHADER_NOSHADOWS),
                 occluded_fn=tracer.occluded, mask=diffuse,
-                share_mask=(it == 0), share_width=config.nee_share)
+                share_mask=(it == 0), share_width=config.nee_share,
+                # The grid DDA's occlusion walk cannot exclude the
+                # endpoint sphere (it guards prev triangles only), so the
+                # reversed formulation stays off on ACC_REGULAR_GRID.
+                reverse=(primary and config.nee_reverse
+                         and config.accelerator != C.ACC_REGULAR_GRID),
+                coherent=(primary and config.nee_reverse
+                          and config.nee_share >= 128))
             ld = kd * ld_sum / jnp.float32(config.samples_light)
             has_l = scene.lights.num > 0
             ld = jnp.where((diffuse & has_l)[:, None], ld, 0.0)

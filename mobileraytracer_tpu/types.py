@@ -350,6 +350,13 @@ class RenderConfig:
     # any fixed width, provided every shard holds a multiple of the
     # width (renderer and parallel/mesh.py both shard patch-major lanes).
     nee_share: int = 16
+    # Trace first-bounce NEE occlusion segments from the (group-shared)
+    # light point toward the surfaces instead of surface->light: occlusion
+    # is symmetric in the segment, and the point origin collapses the
+    # traversal's candidate hulls to the exact shadow cone (the round-4
+    # NEE pass cost ~42% of the conference frame on scattered hit-point
+    # hulls).  See shaders/common.direct_lighting.
+    nee_reverse: bool = True
 
     def resolved_max_walk_iters(self) -> int:
         if self.max_walk_iters is not None:

@@ -1,16 +1,23 @@
 // Headless finite-difference gradient driver for the MobileRT reference.
 //
-// Renders the hardcoded cornellBox2 scene with ONE material channel
-// perturbed by DELTA, so the framework's reverse-mode d(loss)/d(kd) can be
-// validated against central differences of the *actual reference binary*
+// Renders the hardcoded cornellBox2 scene with ONE scalar perturbed by
+// DELTA, so the framework's reverse-mode gradients can be validated
+// against central differences of the *actual reference binary*
 // (BASELINE.md config #4).  The scene/shader/renderer pipeline mirrors the
 // reference's own driver (app/System_dependent/Native/C_wrapper.cpp:68-220)
 // with the single addition of the perturbation after scene construction.
 //
 // Usage:
-//   graddriver THREADS SHADER SPP SPL WIDTH HEIGHT ACC MATIDX CH DELTA OUT.bin
+//   graddriver THREADS SHADER SPP SPL WIDTH HEIGHT ACC MODE IDX CH DELTA OUT.bin
+// MODE "m": IDX = material index, CH in 0..2 = Kd channel.
+// MODE "v": IDX = triangle index into scene.triangles_, CH in 0..8 =
+//   3*vertex + coordinate (vertex 0 = A, 1 = B = A+AB, 2 = C = A+AC); the
+//   triangle is REBUILT through Triangle::Builder with the perturbed
+//   point, so its stored normal is recomputed exactly as an originally-
+//   perturbed scene would have it (Triangle.cpp:336 normalA = norm(ACxAB)).
 // Output file: int32 width, int32 height, int32 bitmap[w*h] (packed ABGR).
-// Stdout: "GRAD mats=<n> baseKd=<r>,<g>,<b>" for index-mapping checks.
+// Stdout: "GRAD mats=<n> baseKd=..." or "GRAD tris=<n> baseV=..." for
+// index-mapping checks.
 #include "MobileRT/Renderer.hpp"
 #include "MobileRT/Scene.hpp"
 #include "MobileRT/Utils/Constants.hpp"
@@ -27,10 +34,10 @@
 #include <vector>
 
 int main(int argc, char **argv) {
-    if (argc != 12) {
+    if (argc != 13) {
         std::fprintf(stderr,
                      "usage: %s THREADS SHADER SPP SPL WIDTH HEIGHT ACC "
-                     "MATIDX CH DELTA OUT.bin\n", argv[0]);
+                     "MODE IDX CH DELTA OUT.bin\n", argv[0]);
         return 1;
     }
     const std::int32_t threads {(std::int32_t)strtol(argv[1], nullptr, 0)};
@@ -43,23 +50,47 @@ int main(int argc, char **argv) {
     const std::int32_t height {MobileRT::roundDownToMultipleOf(
         (std::int32_t)strtol(argv[6], nullptr, 0), tile)};
     const std::int32_t acc {(std::int32_t)strtol(argv[7], nullptr, 0)};
-    const std::int32_t matIdx {(std::int32_t)strtol(argv[8], nullptr, 0)};
-    const std::int32_t ch {(std::int32_t)strtol(argv[9], nullptr, 0)};
-    const float delta {(float)strtod(argv[10], nullptr)};
-    const std::string outPath {argv[11]};
+    const char mode {argv[8][0]};
+    const std::int32_t idx {(std::int32_t)strtol(argv[9], nullptr, 0)};
+    const std::int32_t ch {(std::int32_t)strtol(argv[10], nullptr, 0)};
+    const float delta {(float)strtod(argv[11], nullptr)};
+    const std::string outPath {argv[12]};
 
     const float ratio {(float)width / (float)height};
     ::MobileRT::Scene scene {};
     scene = cornellBox2_Scene(::std::move(scene));
-    if (matIdx < 0 ||
-        matIdx >= (std::int32_t)scene.materials_.size() || ch < 0 || ch > 2) {
-        std::fprintf(stderr, "bad material index/channel\n");
+    if (mode == 'm') {
+        if (idx < 0 || idx >= (std::int32_t)scene.materials_.size()
+            || ch < 0 || ch > 2) {
+            std::fprintf(stderr, "bad material index/channel\n");
+            return 1;
+        }
+        const ::glm::vec3 baseKd {scene.materials_[(size_t)idx].Kd_};
+        scene.materials_[(size_t)idx].Kd_[ch] += delta;
+        std::printf("GRAD mats=%zu baseKd=%g,%g,%g\n",
+                    scene.materials_.size(), (double)baseKd[0],
+                    (double)baseKd[1], (double)baseKd[2]);
+    } else if (mode == 'v') {
+        if (idx < 0 || idx >= (std::int32_t)scene.triangles_.size()
+            || ch < 0 || ch > 8) {
+            std::fprintf(stderr, "bad triangle index/coord\n");
+            return 1;
+        }
+        const ::MobileRT::Triangle &tri {scene.triangles_[(size_t)idx]};
+        ::glm::vec3 pts[3] {tri.getA(), tri.getA() + tri.getAB(),
+                            tri.getA() + tri.getAC()};
+        std::printf("GRAD tris=%zu baseV=%g,%g,%g\n",
+                    scene.triangles_.size(), (double)pts[ch / 3][0],
+                    (double)pts[ch / 3][1], (double)pts[ch / 3][2]);
+        pts[ch / 3][ch % 3] += delta;
+        scene.triangles_[(size_t)idx] = ::MobileRT::Triangle::Builder(
+            pts[0], pts[1], pts[2])
+            .withMaterialIndex(tri.getMaterialIndex())
+            .build();
+    } else {
+        std::fprintf(stderr, "bad mode %c\n", mode);
         return 1;
     }
-    const ::glm::vec3 baseKd {scene.materials_[(size_t)matIdx].Kd_};
-    scene.materials_[(size_t)matIdx].Kd_[ch] += delta;
-    std::printf("GRAD mats=%zu baseKd=%g,%g,%g\n", scene.materials_.size(),
-                (double)baseKd[0], (double)baseKd[1], (double)baseKd[2]);
 
     auto camera = cornellBox_Cam(ratio);
     ::std::unique_ptr<::MobileRT::Sampler> samplerPixel {};

@@ -47,7 +47,7 @@ def ref_loss(delta, runs=4, shader=1):
         out = f"/tmp/refgrad_{os.getpid()}_{i}.bin"
         proc = subprocess.run(
             [str(DRIVER), "2", str(shader), str(SPP), "1", str(SIZE),
-             str(SIZE), "3", str(MAT_IDX), str(CH), repr(delta), out],
+             str(SIZE), "3", "m", str(MAT_IDX), str(CH), repr(delta), out],
             capture_output=True, text=True, timeout=300)
         assert proc.returncode == 0, proc.stderr[-500:]
         for line in proc.stdout.splitlines():
@@ -142,3 +142,73 @@ def test_kd_gradient_matches_reference_fd_pathtracer():
 
     assert abs(ad - fd) < max(0.3 * abs(fd), 0.02), (
         f"AD {ad:.5f} vs reference PathTracer FD {fd:.5f}")
+
+
+@pytest.mark.slow
+def test_vertex_gradient_matches_reference_fd():
+    """Vertex-POSITION gradient parity vs central differences of the real
+    reference binary (VERDICT r4 #6): graddriver mode "v" rebuilds the
+    cornellBox2 green triangle (reference Scenes.cpp triangle4) through
+    Triangle::Builder with one coordinate perturbed, so the reference
+    renders the exact scene an originally-perturbed build would produce
+    (stored normals recomputed).  Our side is vertex_grad's
+    interior + silhouette-boundary + shadow-boundary estimator on the same
+    scene and L = mean(image) loss.
+
+    Coordinate choice: the green triangle's vertex A y-component — a
+    lateral, in-plane move whose loss derivative is silhouette + shading
+    (measured FD ~ -0.0147/unit, ~30x the per-run MC noise).  The z
+    components have larger FD but their discontinuity is the triangle
+    clipping through the back wall, a surface-interpenetration boundary
+    the edge-sampling estimator deliberately does not model."""
+    TRI = 1     # green triangle (reference Scenes.cpp triangle4)
+    VCH = 1     # vertex A, y coordinate (3*vertex + coord)
+    VEPS = 0.15
+
+    scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
+    scene = jax.device_put(scene)
+    cfg = RenderConfig(width=SIZE, height=SIZE, spp=1,
+                       shader=C.SHADER_WHITTED, accelerator=C.ACC_NAIVE,
+                       scene_id=C.SCENE_CORNELL2)
+
+    def ref_vloss(delta, runs=6):
+        losses, base = [], None
+        for i in range(runs):
+            out = f"/tmp/refvgrad_{os.getpid()}_{i}.bin"
+            proc = subprocess.run(
+                [str(DRIVER), "2", "1", str(SPP), "1", str(SIZE), str(SIZE),
+                 "3", "v", str(TRI), str(VCH), repr(delta), out],
+                capture_output=True, text=True, timeout=300)
+            assert proc.returncode == 0, proc.stderr[-500:]
+            for line in proc.stdout.splitlines():
+                if line.startswith("GRAD "):
+                    base = tuple(float(x) for x in
+                                 line.split("baseV=")[1].split(","))
+            raw = np.fromfile(out, dtype=np.int32)
+            os.unlink(out)
+            bm = raw[2:]
+            img = np.stack([(bm >> s) & 0xFF for s in (0, 8, 16)], -1) / 255.0
+            losses.append(img.mean())
+        return float(np.mean(losses)), base
+
+    lo, base_v = ref_vloss(+VEPS)
+    hi, _ = ref_vloss(-VEPS)
+    fd = (lo - hi) / (2 * VEPS)
+
+    # Geometry-index parity with the reference's Scenes.cpp ordering.
+    ours_a = np.asarray(scene.triangles.point_a)[TRI]
+    np.testing.assert_allclose(ours_a, base_v, atol=1e-6,
+                               err_msg="triangle index mapping diverged")
+
+    from mobileraytracer_tpu.diff.geom import vertex_grad
+    grads = []
+    for seed in range(3):
+        _, g = vertex_grad(scene, cam, cfg, jax.random.PRNGKey(seed),
+                           edge_samples=16, spp=4, shadow_edges=True)
+        grads.append(float(np.asarray(g["va"])[TRI, VCH % 3]))
+    ad = float(np.mean(grads))
+
+    # Measured (this box): ref FD -0.0147 +- ~0.001 after 6-run averaging,
+    # our AD -0.0147 +- 0.0004 over 3 keys.
+    assert abs(ad - fd) < max(0.2 * abs(fd), 0.004), (
+        f"vertex AD {ad:.5f} vs reference FD {fd:.5f}")
