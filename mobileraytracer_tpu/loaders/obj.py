@@ -22,6 +22,7 @@ Python loop — conference is ~331k triangles).
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -55,8 +56,10 @@ def load_obj_scene_ex(obj_path: str, mtl_path: Optional[str] = None,
                       builder: Optional[SceneBuilder] = None,
                       strict_textures: bool = True
                       ) -> Tuple[Scene, dict]:
+    t_start = time.perf_counter()
     with open(obj_path, "rb") as f:
         parsed = parse_obj_text(f.read())
+    t_parsed = time.perf_counter()
 
     base_dir = os.path.dirname(os.path.abspath(obj_path))
 
@@ -188,10 +191,114 @@ def load_obj_scene_ex(obj_path: str, mtl_path: Optional[str] = None,
         face_mat[keep])
 
     scene = b.build()
+    # Phase timers mirroring the reference's load/fill split
+    # (C_wrapper.cpp:103-130 "Loading Obj file" / "Filling scene" and the
+    # summary at :248-251): parse = tinyobj-stage (native/objparser.cpp),
+    # fill = numpy assembly + scene build.
     info = {
         "triangles": int(keep.sum()),
         "lights": int(em.sum()),
         "materials": len(b._mat),
         "textures": len(tex_cache),
+        "parse_seconds": t_parsed - t_start,
+        "fill_seconds": time.perf_counter() - t_parsed,
     }
     return scene, info
+
+
+def save_obj_scene(scene: Scene, obj_path: str,
+                   mtl_path: Optional[str] = None) -> dict:
+    """Serializes a Scene's triangles + area lights to OBJ+MTL, inverting
+    the loader's conventions (X re-negated on write; area lights written
+    as faces of emissive materials), so `load_obj_scene(obj_path)`
+    reproduces the scene: triangle geometry, order, and geometric normals
+    bit-for-bit; materials up to the loader's value-dedup id permutation;
+    area lights in order.
+
+    Purpose: the reference's canonical bench loads the real 331k-triangle
+    conference OBJ and logs per-phase times (C_wrapper.cpp:103-130,
+    248-251); the conference OBJ is not vendored, so writing the
+    procedural proxy out and loading it back exercises (and times) the
+    real parser path at the reference's scale.
+
+    Limitations (none hit by the proxy): shading normals that differ from
+    the geometric normal and texture UVs are not written; emissive
+    radiance with a component > 1 would be re-normalized on load.
+    """
+    import jax
+
+    if mtl_path is None:
+        mtl_path = os.path.splitext(obj_path)[0] + ".mtl"
+
+    tris = jax.tree.map(np.asarray, scene.triangles)
+    mats = jax.tree.map(np.asarray, scene.materials)
+    lights = jax.tree.map(np.asarray, scene.lights)
+    valid = tris.valid.astype(bool)
+    pa = tris.point_a[valid]
+    vb = pa + tris.ab[valid]
+    vc = pa + tris.ac[valid]
+    mat_id = tris.mat_id[valid]
+    n = pa.shape[0]
+
+    # Area-light triangles (emissive faces on load).
+    n_l = int(np.asarray(lights.num))
+    lk = lights.kind[:n_l]
+    area = np.nonzero(lk == 1)[0]       # C.LIGHT_AREA
+    la = lights.tri_a[area]
+    lb = la + lights.tri_ab[area]
+    lc = la + lights.tri_ac[area]
+    lrad = lights.radiance[area]
+
+    # One shared vertex table (X negated back; the loader re-negates).
+    verts = np.concatenate([pa, vb, vc, la, lb, lc], 0).astype(np.float32)
+    verts[:, 0] = -verts[:, 0]
+    uniq, inv = np.unique(verts, axis=0, return_inverse=True)
+    ia = inv[:n] + 1                     # 1-based OBJ indices
+    ib = inv[n:2 * n] + 1
+    ic = inv[2 * n:3 * n] + 1
+    m_off = 3 * n
+    k = len(area)
+
+    used_mats = np.unique(mat_id)
+    lines_mtl = []
+    for mi in used_mats:
+        kd, ks, kt = mats.kd[mi], mats.ks[mi], mats.kt[mi]
+        lines_mtl.append(f"newmtl mat{mi}")
+        lines_mtl.append("Kd %.9g %.9g %.9g" % tuple(kd))
+        lines_mtl.append("Ks %.9g %.9g %.9g" % tuple(ks))
+        if (kt > 0).any():
+            # Loader rule: Kt = Tf * (1 - dissolve)  (OBJLoader.cpp:326).
+            lines_mtl.append("d 0")
+            lines_mtl.append("Tf %.9g %.9g %.9g" % tuple(kt))
+        lines_mtl.append("Ni %.9g" % mats.ior[mi])
+    lrad_u, lrad_inv = (np.unique(lrad, axis=0, return_inverse=True)
+                        if k else (np.zeros((0, 3), np.float32),
+                                   np.zeros((0,), np.int64)))
+    for j, r in enumerate(lrad_u):
+        lines_mtl.append(f"newmtl light{j}")
+        lines_mtl.append("Kd 0 0 0")
+        lines_mtl.append("Ke %.9g %.9g %.9g" % tuple(r))
+    with open(mtl_path, "w") as f:
+        f.write("\n".join(lines_mtl) + "\n")
+
+    out = [f"mtllib {os.path.basename(mtl_path)}"]
+    out.extend("v %.9g %.9g %.9g" % tuple(row) for row in uniq)
+    # Faces in original triangle order; usemtl emitted at material-run
+    # boundaries (the proxy's batches are long same-material runs).
+    cur = None
+    for i in range(n):
+        mi = int(mat_id[i])
+        if mi != cur:
+            out.append(f"usemtl mat{mi}")
+            cur = mi
+        out.append(f"f {ia[i]} {ib[i]} {ic[i]}")
+    for j in range(k):
+        out.append(f"usemtl light{int(lrad_inv[j])}")
+        out.append(f"f {inv[m_off + j] + 1} {inv[m_off + k + j] + 1} "
+                   f"{inv[m_off + 2 * k + j] + 1}")
+    with open(obj_path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    return {"triangles": int(n), "lights": int(k),
+            "vertices": int(uniq.shape[0]),
+            "materials": int(len(used_mats)),
+            "obj_bytes": os.path.getsize(obj_path)}

@@ -141,3 +141,44 @@ class TestCam:
         # hFov scaled by ratio: 45 * 2 = 90 deg.
         np.testing.assert_allclose(float(cam.param_u), np.deg2rad(90.0),
                                    rtol=1e-6)
+
+
+def test_obj_roundtrip_conference_scale(tmp_path):
+    """The real loader path at the reference's canonical bench scale
+    (VERDICT r4 #8): serialize the 331k-triangle conference proxy to
+    OBJ+MTL, load it back through native/objparser.cpp + loaders/obj.py,
+    and require bit-exact triangle/normal/light equivalence with the
+    procedural build (materials compared by value through the loader's
+    dedup permutation).  The reference logs load/fill phase times on the
+    same workload (C_wrapper.cpp:103-130, 248-251); the loader records
+    parse/fill seconds in its info dict."""
+    import jax as j
+    from mobileraytracer_tpu.bench_scenes import conference_proxy
+    from mobileraytracer_tpu.loaders.obj import (load_obj_scene_ex,
+                                                 save_obj_scene)
+
+    scene, cam, info = conference_proxy()
+    obj = str(tmp_path / "conference_proxy.obj")
+    w = save_obj_scene(scene, obj)
+    assert w["triangles"] == 331179 - 2 or w["triangles"] == 331179, w
+    s2, li = load_obj_scene_ex(obj)
+    assert li["triangles"] == w["triangles"]
+    assert li["lights"] == 2
+    assert li["parse_seconds"] > 0 and li["fill_seconds"] > 0
+
+    a = j.tree.map(np.asarray, scene.triangles)
+    b2 = j.tree.map(np.asarray, s2.triangles)
+    va, vb = a.valid.astype(bool), b2.valid.astype(bool)
+    assert va.sum() == vb.sum()
+    for f in ("point_a", "ab", "ac", "normal_a", "normal_b", "normal_c"):
+        assert np.array_equal(getattr(a, f)[va], getattr(b2, f)[vb]), f
+    ma = j.tree.map(np.asarray, scene.materials)
+    mb = j.tree.map(np.asarray, s2.materials)
+    for f in ("kd", "ks", "kt"):
+        assert np.array_equal(getattr(ma, f)[a.mat_id[va]],
+                              getattr(mb, f)[b2.mat_id[vb]]), f
+    la = j.tree.map(np.asarray, scene.lights)
+    lb = j.tree.map(np.asarray, s2.lights)
+    assert int(la.num) == int(lb.num) == 2
+    for f in ("tri_a", "tri_ab", "tri_ac", "radiance"):
+        assert np.array_equal(getattr(la, f)[:2], getattr(lb, f)[:2]), f
