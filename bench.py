@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--reps", type=int, default=None,
                     help="frames per timing executable (default: 9 at "
                          "1 spp, 3 otherwise)")
+    ap.add_argument("--no-share2", action="store_true",
+                    help="disable secondary-bounce NEE sharing (PathTracer "
+                         "A/B; default on for shader 2)")
     args = ap.parse_args()
 
     from mobileraytracer_tpu import constants as C
@@ -63,9 +66,15 @@ def main():
     # nee_share=128: one shared NEE light cone per 128-ray traversal tile
     # (the coherent tile-kernel shadow path; unbiased — see
     # RenderConfig.nee_share).
+    # nee_share / nee_share_secondary are SAMPLING POLICY (unbiased; see
+    # RenderConfig): one shared light pick/point per 128-lane group on
+    # every bounce keeps the shadow bundles one reversed cone each — the
+    # production TPU setting.  --no-share2 restores per-lane secondary
+    # picks for A/B.
     cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
                        samples_light=args.spl, shader=shader,
-                       accelerator=acc, nee_share=128)
+                       accelerator=acc, nee_share=128,
+                       nee_share_secondary=not args.no_share2)
     key = jax.random.PRNGKey(0)
 
     # Timing on the tunneled TPU backend: `block_until_ready` does NOT wait

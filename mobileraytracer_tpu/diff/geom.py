@@ -29,7 +29,7 @@ contracts only.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,10 @@ def scene_with_vertices(scene: Scene, verts: Dict[str, jnp.ndarray]) -> Scene:
     # Reference normal convention: normalize(cross(AC, AB))
     # (Triangle.cpp:328-339; SceneBuilder.add_triangle matches).
     gn = jnp.cross(ac, ab)
-    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    # sqrt(max(sum-sq)) not max(norm): norm's VJP at the zero vectors of
+    # padded rows is NaN even under zero cotangents (see intersect._fill_hit).
+    gn = gn / jnp.sqrt(jnp.maximum(
+        jnp.sum(gn * gn, axis=-1, keepdims=True), 1e-30))
     tris = scene.triangles.replace(point_a=va, ab=ab, ac=ac,
                                    normal_a=gn, normal_b=gn, normal_c=gn)
     return scene.replace(triangles=tris)
@@ -405,7 +408,8 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
                 edge_budget: int = None,
                 shadow_edges: bool = False,
                 shadow_budget: int = 256,
-                mesh=None
+                mesh=None,
+                pixel_chunk: Optional[int] = None,
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Gradient of L = mean(image) w.r.t. every triangle vertex.
 
@@ -434,14 +438,42 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
     # ---- interior: AD at fixed visibility through the standard tracer ---
     from ..cameras import fast_arctan
 
-    def interior_loss(vt):
-        s2 = scene_with_vertices(scene, vt)
-        qs = jnp.stack([fast_arctan(camera.param_u * (u - 0.5)),
-                        fast_arctan(camera.param_v * (0.5 - v))], axis=-1)
-        rgb = _mean_radiance(s2, camera, config, qs, keys, mesh=mesh)
-        return jnp.mean(rgb)
+    b_pix = u.shape[0]
+    if pixel_chunk is None or pixel_chunk >= b_pix:
+        def interior_loss(vt):
+            s2 = scene_with_vertices(scene, vt)
+            qs = jnp.stack([fast_arctan(camera.param_u * (u - 0.5)),
+                            fast_arctan(camera.param_v * (0.5 - v))],
+                           axis=-1)
+            rgb = _mean_radiance(s2, camera, config, qs, keys, mesh=mesh)
+            return jnp.mean(rgb)
 
-    loss, g_int = jax.value_and_grad(interior_loss)(verts)
+        loss, g_int = jax.value_and_grad(interior_loss)(verts)
+    else:
+        # Chunked interior AD (VERDICT r4 #5: 1080p-scale gradients):
+        # L = mean over ALL pixels, so grad(L) is the sum of per-chunk
+        # grads of sum(rgb)/(3B).  Each chunk is one dispatch that stays
+        # under the backend watchdog and bounds backward-pass memory; the
+        # result is the same interior gradient up to fp summation order.
+        ck = max(128, pixel_chunk - pixel_chunk % 128)
+        denom = jnp.float32(b_pix * 3)
+
+        def chunk_loss(vt, uc, vc_, kc):
+            s2 = scene_with_vertices(scene, vt)
+            qs = jnp.stack([fast_arctan(camera.param_u * (uc - 0.5)),
+                            fast_arctan(camera.param_v * (0.5 - vc_))],
+                           axis=-1)
+            rgb = _mean_radiance(s2, camera, config, qs, kc, mesh=mesh)
+            return jnp.sum(rgb) / denom
+
+        chunk_vg = jax.jit(jax.value_and_grad(chunk_loss))
+        loss = jnp.zeros(())
+        g_int = {k: jnp.zeros_like(x) for k, x in verts.items()}
+        for lo in range(0, b_pix, ck):
+            hi = min(lo + ck, b_pix)
+            lc, gc = chunk_vg(verts, u[lo:hi], v[lo:hi], keys[lo:hi])
+            loss = loss + lc
+            g_int = {k: g_int[k] + gc[k] for k in g_int}
 
     # ---- boundary: edge sampling in factor space ------------------------
     n_tri = verts["va"].shape[0]

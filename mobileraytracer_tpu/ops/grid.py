@@ -177,9 +177,10 @@ def _sphere_one(o, d, center, sq_radius):
     b = 2.0 * -proj
     c = jnp.sum(oc * oc, -1) - sq_radius
     disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    pos = disc >= 0.0   # VJP-safe sqrt guard (see intersect.sphere_distances)
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
     t = jnp.minimum(-b + sq, -b - sq) / (2.0 * a)
-    ok = (disc >= 0.0) & (t >= C.EPSILON_LARGE)
+    ok = pos & (t >= C.EPSILON_LARGE)
     return jnp.where(ok, t, _BIG)
 
 

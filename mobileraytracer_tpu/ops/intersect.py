@@ -76,9 +76,14 @@ def sphere_distances(o, d, center, sq_radius):
     b = 2.0 * -proj
     c = _dot(oc, oc) - sq_radius[None, :]
     disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt(where(disc >= 0, ...)) not sqrt(max(disc, 0)): sqrt's VJP at 0
+    # is inf, and a missed ray's zero cotangent times inf is NaN — the
+    # where routes the backward pass entirely to the disc >= 0 branch.
+    # Forward-identical: sq is only consumed where disc >= 0.
+    pos = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
     t = jnp.minimum(-b + sq, -b - sq) / (2.0 * a)
-    ok = (disc >= 0.0) & (t >= C.EPSILON_LARGE)
+    ok = pos & (t >= C.EPSILON_LARGE)
     return jnp.where(ok, t, _BIG)
 
 
@@ -161,9 +166,10 @@ def _closest_spheres_small(sph: Spheres, o, d, t_max, prev_kind, prev_id,
         b = 2.0 * -proj
         c = ocx * ocx + ocy * ocy + ocz * ocz - sph.sq_radius[i]
         disc = b * b - 4.0 * a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        pos = disc >= 0.0      # see sphere_distances: VJP-safe sqrt guard
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
         t = jnp.minimum(-b + sq, -b - sq) / (2.0 * a)
-        ok = (disc >= 0.0) & (t >= C.EPSILON_LARGE) & sph.valid[i]
+        ok = pos & (t >= C.EPSILON_LARGE) & sph.valid[i]
         if guard is not None:
             ok = ok & ~(guard & (prev_id == i))
         closer = ok & (t < best_t)
@@ -342,7 +348,14 @@ def _fill_hit(scene: Scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
     sid = jnp.minimum(gid, scene.spheres.capacity - 1)
     ctr = scene.spheres.center[sid]
     n_sp = point - ctr
-    n_sp = n_sp / jnp.maximum(jnp.linalg.norm(n_sp, axis=-1, keepdims=True), 1e-30)
+    # Normalizations here use sqrt(max(sum-of-squares, eps)) instead of
+    # max(norm, eps): jnp.linalg.norm's VJP at a zero vector is 0/0 = NaN,
+    # and a zero cotangent does NOT mask it (0 * NaN = NaN), so padded
+    # rows / masked lanes would poison every vertex gradient reachable
+    # through the chain.  Forward values are bit-identical for non-zero
+    # inputs (same sqrt, same divide).
+    n_sp = n_sp / jnp.sqrt(jnp.maximum(
+        jnp.sum(n_sp * n_sp, axis=-1, keepdims=True), 1e-30))
     m_sp = scene.spheres.mat_id[sid]
 
     # Triangle attributes: barycentric-interpolated normal and UV
@@ -364,7 +377,8 @@ def _fill_hit(scene: Scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
     u_t, v_t = _tri_barycentrics(o, d, pa, ab, ac)
     w_t = 1.0 - u_t - v_t
     n_tr = (na_ * w_t[:, None] + nb_ * u_t[:, None] + nc_ * v_t[:, None])
-    n_tr = n_tr / jnp.maximum(jnp.linalg.norm(n_tr, axis=-1, keepdims=True), 1e-30)
+    n_tr = n_tr / jnp.sqrt(jnp.maximum(
+        jnp.sum(n_tr * n_tr, axis=-1, keepdims=True), 1e-30))
     uv_tr = (uva * w_t[:, None] + uvb * u_t[:, None] + uvc * v_t[:, None])
 
     # Area-light attributes: geometric normal of the light triangle, mat -1
@@ -373,7 +387,8 @@ def _fill_hit(scene: Scene, o, d, t_pl, id_pl, t_sp, id_sp, t_tr, id_tr,
     # Triangle.cpp:328-339).
     lid = jnp.minimum(gid, scene.lights.capacity - 1)
     n_li = jnp.cross(scene.lights.tri_ac[lid], scene.lights.tri_ab[lid])
-    n_li = n_li / jnp.maximum(jnp.linalg.norm(n_li, axis=-1, keepdims=True), 1e-30)
+    n_li = n_li / jnp.sqrt(jnp.maximum(
+        jnp.sum(n_li * n_li, axis=-1, keepdims=True), 1e-30))
     le_li = scene.lights.radiance[lid]
 
     sel = winner  # 0 plane, 1 sphere, 2 triangle, 3 light

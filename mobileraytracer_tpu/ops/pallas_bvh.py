@@ -79,6 +79,16 @@ class PallasGrid:
     # clean (nt, s*BPS) lane-major arrays with zero relayouts (interleaved
     # per-block fields forced transposes costing ~60 ms/traversal on TPU).
     blocks_packed: jnp.ndarray  # (K1, 8 * BPS) f32
+    # bf16 copy of blocks_packed with DIRECTIONALLY-rounded bounds (lo
+    # fields rounded down, hi fields rounded up, so every bf16 box
+    # contains its f32 box): candidate selection's phase-B gather was
+    # HBM-bound (~268 MB of packed rows per 512^2 shadow pass); gathering
+    # bf16 halves the traffic while keeping the interval entry bounds
+    # conservative — an unlisted block still provably satisfies
+    # lb_true >= lb_bf16 >= cut, so windowed exactness is unchanged.  The
+    # `first` field (col 6) is NOT exact in bf16; it is unused by the
+    # Pallas traversals (the kernel reads slot ids from tb row 10).
+    blocks_sel: jnp.ndarray     # (K1, 8 * BPS) bf16
     # Packed triangle blocks: rows 0-2 point_a xyz, 3-5 ab, 6-8 ac,
     # 9 validity (1.0/0.0), 10 global triangle slot id per lane.
     tb: jnp.ndarray           # (NB, 16, LANES) f32, NB = K1 * BPS
@@ -221,6 +231,20 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
     packed[:, 6] = bfirst_p.astype(np.float32)
     packed[:, 7] = bcount_p.astype(np.float32)
 
+    # Conservative bf16 selection copy: shift each bound outward by one
+    # bf16 ulp (2^-7 relative) before nearest-rounding, so lo_bf16 <= lo
+    # and hi_bf16 >= hi hold for every block (boxes only grow — sound;
+    # growth <= ~1%, a few extra candidates at worst).
+    def _outward(x, up):
+        pad = np.abs(x) * np.float32(2.0 ** -7) + np.float32(1e-30)
+        return (x + pad if up else x - pad).astype(jnp.bfloat16)
+
+    packed_sel = np.zeros((k1, 8, bps), jnp.bfloat16)
+    packed_sel[:, 0:3] = _outward(packed[:, 0:3], up=False)
+    packed_sel[:, 3:6] = _outward(packed[:, 3:6], up=True)
+    packed_sel[:, 6] = packed[:, 6]    # inexact in bf16; unused (see doc)
+    packed_sel[:, 7] = packed[:, 7]    # counts <= 128: exact in bf16
+
     n = pa.shape[0]
     attr = np.zeros((n, 32), np.float32)
     attr[:, 0:3] = pa
@@ -238,6 +262,7 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         super_lo=bmin_p.min(1).T.copy(),
         super_hi=bmax_p.max(1).T.copy(),
         blocks_packed=packed.reshape(k1, 8 * bps),
+        blocks_sel=packed_sel.reshape(k1, 8 * bps),
         tb=tb,
         tw=tw,
         tri_attr=attr,
@@ -370,13 +395,16 @@ def _candidates(grid: PallasGrid, o, d, cap=None, floor=None, st=ST,
 
     # Phase B: one large-row gather of the selected supers' packed block
     # metadata (component-grouped — slices stay lane-major), conservative
-    # tile-interval bounds, one top-k.
+    # tile-interval bounds, one top-k.  The gather reads the bf16
+    # outward-rounded copy (PallasGrid.blocks_sel): it was the pass's
+    # HBM-traffic hot spot, and the conservative rounding keeps every
+    # bound sound (boxes only grow).
     bps = grid.bps
     nc = s * bps
-    gb = grid.blocks_packed[sup_ids]                  # (nt, s, 8*BPS)
-    f = lambda i: grid.packed_field(gb, i)            # (nt, nc) each
+    gb = grid.blocks_sel[sup_ids]                     # (nt, s, 8*BPS) bf16
+    f = lambda i: grid.packed_field(gb, i).astype(jnp.float32)
     lo_hi = [(f(0), f(3)), (f(1), f(4)), (f(2), f(5))]
-    cb_first = f(6).astype(jnp.int32)
+    cb_first = f(6).astype(jnp.int32)   # NOT exact (bf16); unused by Pallas
     cb_count = f(7)
 
     lb = _interval_entry_lb(ivals, lo_hi)                          # (nt, nc)
@@ -625,30 +653,41 @@ def _banded_balanced(grid, cg, ce, rays_in, m, any_hit, interp):
     return t_out, s_out, st_out
 
 
-def _refill_exact(grid, rays, t, sid, floor_r, any_hit, interp, bp):
-    """Per-ray exact windowed refill (shared by the banded and tile
-    traversals).  Rays with floor_r < t are unresolved: they are gathered
-    and DUPLICATED ST-fold so each occupies a whole subtile — the interval
-    hull of ST identical rays collapses to the ray's exact slab bounds,
-    making the next window both tight (candidates = blocks the ray truly
-    crosses) and sound to floor-window per ray (fixed membership).  The
-    stall counter force-resolves a pathological tail (bit-identical entry
-    ties wider than a window) instead of looping.  Returns (t, sid)."""
+def _refill_exact(grid, tris, rays, t, sid, floor_r, any_hit, interp, bp):
+    """Per-ray exact windowed refill (shared by all traversal variants).
+    Rays with floor_r < t are unresolved: they are gathered and DUPLICATED
+    ST-fold so each occupies a whole subtile — the interval hull of ST
+    identical rays collapses to the ray's exact slab bounds, making the
+    next window both tight (candidates = blocks the ray truly crosses) and
+    sound to floor-window per ray (fixed membership).
+
+    Exactness is UNCONDITIONAL: rays that outlast the windowed loop's
+    iteration budget or stall on bit-identical entry ties (both arise only
+    on adversarial geometry — a 120k-triangle uniform-random soup was the
+    round-5 reproducer; real scenes resolve in < 10 iterations) fall
+    through to a brute-force dense scan over the live triangle table —
+    the naive oracle itself — so the traversal can never silently return
+    a non-oracle answer.  Returns (t, sid)."""
     m = min(grid.top_m, min(grid.top_s, grid.num_supers) * grid.bps)
     nr = max(GROUP, min(2048, bp // ST // 4))
     rrange = jnp.arange(bp, dtype=jnp.int32)
 
-    def refill_cond(carry):
-        it, t, sid, floor_r, stall = carry
-        return (it < 64) & (stall < 4) & jnp.any(floor_r < t)
-
-    def refill_body(carry):
-        it, t, sid, floor_r, stall = carry
+    def gather_unresolved(t, floor_r):
         unres = floor_r < t
         pos = jnp.cumsum(unres) - 1
         sel = unres & (pos < nr)
         ridx = jnp.zeros((nr,), jnp.int32).at[
             jnp.where(sel, pos, nr)].set(rrange, mode="drop")
+        return ridx
+
+    def refill_cond(carry):
+        it, t, sid, floor_r, stall = carry
+        return (it < 256) & (stall < 4) & jnp.any(floor_r < t)
+
+    def refill_body(carry):
+        it, t, sid, floor_r, stall = carry
+        unres = floor_r < t
+        ridx = gather_unresolved(t, floor_r)
         lanes = jnp.repeat(ridx, ST)                     # (nr*ST,)
         rays_c = rays[lanes].at[:, 6].set(t[lanes])
         cg, cf, ce, cut2 = _candidates(grid, rays_c[:, 0:3],
@@ -667,9 +706,35 @@ def _refill_exact(grid, rays, t, sid, floor_r, any_hit, interp, bp):
         stall = jnp.where(n_unres < jnp.sum(unres), 0, stall + 1)
         return (it + 1, t, sid, floor_r, stall)
 
-    _, t, sid, _, _ = jax.lax.while_loop(
+    _, t, sid, floor_r, _ = jax.lax.while_loop(
         refill_cond, refill_body,
         (jnp.int32(0), t, sid, floor_r, jnp.int32(0)))
+
+    # Dense backstop: chunks of `nr` rays through the naive oracle until
+    # nothing is unresolved (compiled once; skipped entirely at trace
+    # level never, at runtime almost always zero-trip).
+    def dense_cond(carry):
+        t, sid, floor_r = carry
+        return jnp.any(floor_r < t)
+
+    def dense_body(carry):
+        t, sid, floor_r = carry
+        ridx = gather_unresolved(t, floor_r)
+        o_g = rays[ridx, 0:3]
+        d_g = rays[ridx, 3:6]
+        prev_f = rays[ridx, 7]
+        pk_g = jnp.where(prev_f >= 0, C.PRIM_TRIANGLE, C.PRIM_NONE)
+        pi_g = prev_f.astype(jnp.int32)
+        td, idd = nv.closest_triangles(tris, o_g, d_g, t[ridx], pk_g, pi_g)
+        better = idd >= 0
+        t = t.at[ridx].set(jnp.where(better, td, t[ridx]))
+        sid = sid.at[ridx].set(jnp.where(better, idd.astype(jnp.float32),
+                                         sid[ridx]))
+        floor_r = floor_r.at[ridx].set(_BIG)
+        return (t, sid, floor_r)
+
+    t, sid, _ = jax.lax.while_loop(dense_cond, dense_body,
+                                   (t, sid, floor_r))
     return t, sid
 
 
@@ -689,10 +754,22 @@ def _pack_rays(o, d, t0, prev_kind, prev_id, unit):
 
 
 def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
-             prev_id, any_hit: bool = False, with_steps: bool = False):
+             prev_id, any_hit: bool = False, with_steps: bool = False,
+             sel_st: int = None, top_s: int = None, top_m: int = None):
     """Closest-hit (or any-hit) over the triangle set via the banded
     subtile kernel.  Returns (t_best (B,), best_id (B,) int32 with -1 for
-    miss)[, steps (B,)]."""
+    miss)[, steps (B,)].
+
+    `sel_st` sets the candidate-SELECTION bundle width (default ST): a
+    coarser width (32/64) computes windows over fewer, larger hulls and
+    repeats them onto the kernel's ST-ray subtiles — sound because the
+    coarser hull's entry bounds lower-bound every contained ray's, and
+    profitable when the hulls stay tight (reversed shared-light shadow
+    bundles have a point origin, so doubling the bundle barely widens the
+    cone while halving the phase-A/B selection cost).  `top_s`/`top_m`
+    override the window depths (shadow cones need far shallower windows
+    than closest walks — measured mean 4 candidates/subtile on
+    conference)."""
     b = o.shape[0]
     # Host-numpy tables must become device arrays before the refill
     # while_loop traces over them.
@@ -701,13 +778,20 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     rays, bp = _pack_rays(o, d, t0, prev_kind, prev_id, GROUP * ST)
 
     op, dp = rays[:, 0:3], rays[:, 3:6]
-    nt0 = rays.shape[0] // ST
+    sst = sel_st or ST
+    assert (GROUP * ST) % sst == 0 and sst % ST == 0
+    nt0 = rays.shape[0] // sst
     # Cap window 1 at each subtile's worst t_init: for shadow segments this
     # drops every block beyond the light outright (and resolves the subtile
     # in one window far more often).
-    cap0 = jnp.max(rays[:, 6].reshape(nt0, ST), axis=1)
-    cand_gid, cand_first, cand_entry, cut = _candidates(grid, op, dp,
-                                                        cap=cap0)
+    cap0 = jnp.max(rays[:, 6].reshape(nt0, sst), axis=1)
+    cand_gid, cand_first, cand_entry, cut = _candidates(
+        grid, op, dp, cap=cap0, st=sst, top_s=top_s, top_m=top_m)
+    if sst != ST:
+        rep = sst // ST
+        cand_gid = jnp.repeat(cand_gid, rep, 0)
+        cand_entry = jnp.repeat(cand_entry, rep, 0)
+        cut = jnp.repeat(cut, rep, 0)
     m = cand_gid.shape[1]
     interp = _interpret()
 
@@ -735,7 +819,8 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     # windows with near-zero cuts leave most rays unresolved there, so the
     # per-ray windowed refill (cheap, tight per-ray windows) does the bulk
     # of what window 1 left unresolved.
-    t, sid = _refill_exact(grid, rays, t, sid, floor_r, any_hit, interp, bp)
+    t, sid = _refill_exact(grid, tris, rays, t, sid, floor_r, any_hit,
+                           interp, bp)
 
     t = t[:b]
     sid = sid[:b]
@@ -744,6 +829,237 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
     if with_steps:
         return out + (steps[:b],)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Resident-table any-hit traversal.
+#
+# The banded kernel above issues GROUP=8 HBM DMA descriptors per lockstep
+# round; on conference shadow batches the walks are so short (mean 3.6
+# rounds/program) that descriptor issue + drain dominates the kernel
+# (~3.1 us/round measured, vs ~0.6 us of VPU Moller-Trumbore).  For
+# ANY-HIT queries — occlusion needs no near-to-far ordering — this
+# variant removes the per-round DMAs entirely: the packed triangle-block
+# table is split into VMEM-sized partitions; the grid is (P, n_programs)
+# with the partition as the OUTER (sequential) dimension, so Mosaic's
+# pipeline fetches each partition's (NBP, 16, LANES) table slab into VMEM
+# once and keeps it resident for all programs; each band reads its next
+# block with a dynamic VMEM index (a register-speed load, no descriptor).
+# Each band's candidate list is pre-sorted by block id so partition p's
+# entries form one contiguous run ([starts[g,p], starts[g,p+1])); per-
+# partition results combine by min (any-hit is order-free).  Windows,
+# cutoffs and the exact refill are unchanged, so the exactness contract
+# is exactly the banded kernel's.
+# ---------------------------------------------------------------------------
+
+NBP = 640          # table rows per resident partition (640 x 8 KB = 5 MB)
+
+
+def _make_resident_kernel(m: int, n_parts: int):
+    npp = n_parts + 1
+
+    def kernel(starts_ref, gl_ref, rays_ref, tb_ref, t_out, id_out):
+        g_n = GROUP
+        p = pl.program_id(0)
+        rays = rays_ref[:]                                  # (G*ST, 8)
+
+        def comp(c):
+            return rays[:, c:c + 1].reshape(g_n, ST, 1)
+
+        ox, oy, oz = comp(0), comp(1), comp(2)
+        dx, dy, dz = comp(3), comp(4), comp(5)
+        t_init = comp(6)
+        prev = comp(7)
+
+        s0 = [starts_ref[0, 0, g * npp + p] for g in range(g_n)]
+        s1 = [starts_ref[0, 0, g * npp + p + 1] for g in range(g_n)]
+        base = jnp.int32(p) * jnp.int32(NBP)
+
+        def n_alive(r, t_best):
+            """Band g still has work at round r if it has entries left and
+            any of its rays is still unoccluded."""
+            done = None
+            for g in range(g_n):
+                has = s0[g] + r < s1[g]
+                not_occ = jnp.max(
+                    jnp.where(t_best[g] < t_init[g], 0.0, 1.0)) > 0.5
+                live_g = has & not_occ
+                done = live_g if done is None else (done | live_g)
+            return done
+
+        def cond(carry):
+            return carry[-1]
+
+        def body(carry):
+            r, t_best, slot_best, alive = carry
+            trs = []
+            for g in range(g_n):
+                # Clamp into the band's run: exhausted bands re-test their
+                # last block (idempotent — min over identical hits).
+                idx = jnp.clip(s0[g] + r, s0[g], jnp.maximum(s1[g] - 1,
+                                                             s0[g]))
+                lid = jnp.clip(gl_ref[0, 0, g * m + idx] - base, 0,
+                               jnp.int32(NBP - 1))
+                trs.append(tb_ref[pl.ds(lid, 1)])           # (1, 16, LANES)
+            tr = jnp.concatenate(trs, axis=0)               # (G, 16, LANES)
+            pax, pay, paz = tr[:, 0:1, :], tr[:, 1:2, :], tr[:, 2:3, :]
+            abx, aby, abz = tr[:, 3:4, :], tr[:, 4:5, :], tr[:, 5:6, :]
+            acx, acy, acz = tr[:, 6:7, :], tr[:, 7:8, :], tr[:, 8:9, :]
+            tvalid = tr[:, 9:10, :] > 0.5
+            slot = tr[:, 10:11, :]
+
+            px = dy * acz - dz * acy
+            py = dz * acx - dx * acz
+            pz = dx * acy - dy * acx
+            det = abx * px + aby * py + abz * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < C.EPSILON, 1.0, det)
+            tvx, tvy, tvz = ox - pax, oy - pay, oz - paz
+            u = inv * (tvx * px + tvy * py + tvz * pz)
+            qx = tvy * abz - tvz * aby
+            qy = tvz * abx - tvx * abz
+            qz = tvx * aby - tvy * abx
+            v = inv * (dx * qx + dy * qy + dz * qz)
+            t = inv * (acx * qx + acy * qy + acz * qz)
+
+            ok = ((jnp.abs(det) >= C.EPSILON) & (u >= 0.0) & (u <= 1.0)
+                  & (v >= 0.0) & (u + v <= 1.0) & (t >= C.EPSILON)
+                  & tvalid & (slot != prev))
+            t = jnp.where(ok & (t < t_best), t, _BIG)
+            tmin = jnp.min(t, axis=2, keepdims=True)
+            smin = jnp.min(jnp.where(t <= tmin,
+                                     jnp.broadcast_to(slot, t.shape), _BIG),
+                           axis=2, keepdims=True)
+            closer = tmin < t_best
+            t_best = jnp.where(closer, tmin, t_best)
+            slot_best = jnp.where(closer, smin, slot_best)
+            return (r + 1, t_best, slot_best, n_alive(r + 1, t_best))
+
+        init = (jnp.int32(0), t_init,
+                jnp.full((g_n, ST, 1), -1.0, jnp.float32),
+                n_alive(jnp.int32(0), t_init))
+        _, t_best, slot_best, _ = jax.lax.while_loop(cond, body, init)
+
+        t_out[:] = t_best.reshape(1, g_n * ST, 1)
+        id_out[:] = slot_best.reshape(1, g_n * ST, 1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_parts", "interpret"))
+def _traverse_resident_padded(tb, starts, glist, rays, m: int,
+                              n_parts: int, interpret: bool):
+    """rays: (Bp, 8).  starts: (n_groups, GROUP*(P+1)) i32 run boundaries;
+    glist: (n_groups, GROUP*m) i32 gid-sorted candidate ids.  Returns
+    per-partition (P, Bp, 1) t / slot arrays (combine by min outside)."""
+    bp = rays.shape[0]
+    n_groups = bp // (GROUP * ST)
+    nbp_rows = tb.shape[0]
+    kernel = _make_resident_kernel(m, n_parts)
+    t, sid = pl.pallas_call(
+        kernel,
+        grid=(n_parts, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, 1, GROUP * (n_parts + 1)),
+                         lambda p, i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, GROUP * m), lambda p, i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP * ST, 8), lambda p, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # The resident partition slab: index depends only on p (the
+            # outer, sequential grid dim), so Mosaic fetches it once per
+            # partition and keeps it in VMEM across all programs.
+            pl.BlockSpec((NBP,) + tb.shape[1:], lambda p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, GROUP * ST, 1), lambda p, i: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GROUP * ST, 1), lambda p, i: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_parts, bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_parts, bp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel")),
+        interpret=interpret,
+    )(starts, glist, rays, tb)
+    return t, sid
+
+
+def traverse_resident(grid: PallasGrid, tris: Triangles, o, d, t_init,
+                      prev_kind, prev_id, any_hit: bool = True,
+                      sel_st: int = None, top_s: int = None,
+                      top_m: int = None):
+    """Any-hit traversal via the resident-table kernel (same contract as
+    `traverse(any_hit=True)`); closest-hit queries fall back to the banded
+    kernel (they need the entry-ordered early exit)."""
+    if not any_hit:
+        return traverse(grid, tris, o, d, t_init, prev_kind, prev_id,
+                        any_hit=False, sel_st=sel_st, top_s=top_s,
+                        top_m=top_m)
+    b = o.shape[0]
+    grid = jax.tree.map(jnp.asarray, grid)
+    t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
+    rays, bp = _pack_rays(o, d, t0, prev_kind, prev_id, GROUP * ST)
+
+    op, dp = rays[:, 0:3], rays[:, 3:6]
+    sst = sel_st or ST
+    nt0 = rays.shape[0] // sst
+    cap0 = jnp.max(rays[:, 6].reshape(nt0, sst), axis=1)
+    cand_gid, _, cand_entry, cut = _candidates(
+        grid, op, dp, cap=cap0, st=sst, top_s=top_s, top_m=top_m)
+    if sst != ST:
+        rep = sst // ST
+        cand_gid = jnp.repeat(cand_gid, rep, 0)
+        cand_entry = jnp.repeat(cand_entry, rep, 0)
+        cut = jnp.repeat(cut, rep, 0)
+    m = cand_gid.shape[1]
+    interp = _interpret()
+
+    # Per-band gid sort; invalid entries (entry == BIG) sort last.
+    nb = grid.tb.shape[0]
+    n_parts = -(-nb // NBP)
+    nb_pad = n_parts * NBP
+    gid_key = jnp.where(cand_entry < _BIG * 0.5, cand_gid, nb_pad + 1)
+    order = jnp.argsort(gid_key, axis=1)
+    glist = jnp.take_along_axis(cand_gid, order, 1).astype(jnp.int32)
+    gsort = jnp.take_along_axis(gid_key, order, 1)
+    # Run boundaries per partition: starts[:, p] = #entries with
+    # gid < p*NBP (valid entries only).
+    bounds = jnp.arange(n_parts + 1, dtype=jnp.int32) * NBP
+    starts = jnp.sum(gsort[:, :, None] < bounds[None, None, :],
+                     axis=1).astype(jnp.int32)                # (nt, P+1)
+    # cap the last boundary at the valid count
+    nvalid = jnp.sum(cand_entry < _BIG * 0.5, axis=1).astype(jnp.int32)
+    starts = jnp.minimum(starts, nvalid[:, None])
+
+    ntk = glist.shape[0]
+    n_groups = ntk // GROUP
+    tb_pad = grid.tb
+    if nb_pad != nb:
+        tb_pad = jnp.concatenate(
+            [grid.tb, jnp.zeros((nb_pad - nb,) + grid.tb.shape[1:],
+                                jnp.float32)], 0)
+    tp, sp = _traverse_resident_padded(
+        tb_pad, starts.reshape(n_groups, 1, GROUP * (n_parts + 1)),
+        glist.reshape(n_groups, 1, GROUP * m), rays, m, n_parts, interp)
+    t = jnp.min(tp[:, :, 0], axis=0)
+    sid = jnp.min(jnp.where(tp[:, :, 0] <= t[None, :], sp[:, :, 0], _BIG),
+                  axis=0)
+    sid = jnp.where(t < _BIG * 0.5, sid, -1.0)
+
+    floor_r = jnp.repeat(cut, ST)
+    floor_r = jnp.where(jnp.arange(bp) >= b, _BIG, floor_r)
+    # Occluded rays are resolved regardless of the window cutoff.
+    floor_r = jnp.where(t < rays[:, 6], _BIG, floor_r)
+    t, sid = _refill_exact(grid, tris, rays, t, sid, floor_r, True, interp,
+                           bp)
+    t = t[:b]
+    sid = sid[:b]
+    hit = t < t0
+    return (jnp.where(hit, t, _BIG), jnp.where(hit, sid.astype(jnp.int32), -1))
 
 
 # ---------------------------------------------------------------------------
@@ -1151,7 +1467,8 @@ def _traverse_tilemt_padded(tb, cand_gid, cand_entry, rays, m: int,
 
 
 def traverse_tilemt(grid: PallasGrid, tris: Triangles, o, d, t_init,
-                    prev_kind, prev_id, any_hit: bool = False):
+                    prev_kind, prev_id, any_hit: bool = False,
+                    top_s: int = None, top_m: int = None):
     """Closest-hit (or any-hit) via the exact tile-MT kernel + exact
     banded refill.  Same contract as `traverse`."""
     b = o.shape[0]
@@ -1162,7 +1479,8 @@ def traverse_tilemt(grid: PallasGrid, tris: Triangles, o, d, t_init,
     ntile = bp // TILE
     cap0 = jnp.max(rays[:, 6].reshape(ntile, TILE), axis=1)
     cg, _, ce, cut = _candidates(grid, op, dp, cap=cap0, st=TILE,
-                                 top_s=TILE_TOP_S, top_m=TILE_TOP_M)
+                                 top_s=top_s or TILE_TOP_S,
+                                 top_m=top_m or TILE_TOP_M)
     m = cg.shape[1]
     interp = _interpret()
     out = _traverse_tilemt_padded(grid.tb, cg, ce, rays, m, any_hit, interp)
@@ -1175,7 +1493,7 @@ def traverse_tilemt(grid: PallasGrid, tris: Triangles, o, d, t_init,
         # Occluded rays are resolved regardless of the window cutoff.
         floor_r = jnp.where(t_cur < rays[:, 6], _BIG, floor_r)
 
-    t_fin, sid_fin = _refill_exact(grid, rays, t_cur, sid, floor_r,
+    t_fin, sid_fin = _refill_exact(grid, tris, rays, t_cur, sid, floor_r,
                                    any_hit, interp, bp)
     t_fin = t_fin[:b]
     sid_fin = sid_fin[:b]
@@ -1258,7 +1576,7 @@ def traverse_tile(grid: PallasGrid, tris: Triangles, o, d, t_init,
     floor_r = jnp.where(lanes_pad, _BIG, floor_r)
     t_cur = jnp.where(lanes_pad, 0.0, t_cur)
 
-    t_fin, sid_fin = _refill_exact(grid, rays, t_cur, sid, floor_r,
+    t_fin, sid_fin = _refill_exact(grid, tris, rays, t_cur, sid, floor_r,
                                    any_hit, interp, bp)
     t_fin = t_fin[:b]
     sid_fin = sid_fin[:b]
@@ -1290,7 +1608,7 @@ def build(scene: Scene, **kwargs) -> Scene:
 # precision costs 6 passes (see PERF.md); banded remains the refill
 # workhorse.
 _TRAVERSALS = {"banded": traverse, "tilebw": traverse_tile,
-               "tilemt": traverse_tilemt}
+               "tilemt": traverse_tilemt, "resident": traverse_resident}
 DEFAULT_MODE = "tilemt"
 
 
@@ -1324,8 +1642,19 @@ def intersect_scene_pallas(scene: Scene, o, d, prev_kind, prev_id,
                         t_li, id_li, tri_attr=grid.tri_attr)
 
 
+# Shadow-tuned traversal knobs.  A/B on conference reversed shared-light
+# bundles (round 5) measured the DEFAULT windows fastest: coarser
+# selection bundles (sel_st=32/64) or fewer supers (top_s=16) starve the
+# super cutoff and blow up the per-ray refill (107/150 ms vs 87 ms), and
+# tile-granular shadow windows over-list badly (the 128-ray interval
+# hull's axis-aligned cone is far fatter than the true cone: 206+ ms).
+# The dict is kept as the tuning hook; exactness holds for ANY setting
+# (tests/test_pallas_bvh.py::test_selection_knobs_stay_exact).
+SHADOW_SEL = {}
+
+
 def occluded_pallas(scene: Scene, o, d, max_dist, prev_kind, prev_id,
-                    mode: str = None):
+                    mode: str = None, **sel):
     grid = scene.bvh
     assert isinstance(grid, PallasGrid), "call ops.pallas_bvh.build first"
     md = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (o.shape[0],))
@@ -1334,5 +1663,5 @@ def occluded_pallas(scene: Scene, o, d, max_dist, prev_kind, prev_id,
                                  exclude_prev=True)
     trav = _TRAVERSALS[mode or DEFAULT_MODE]
     t_tr, id_tr = trav(grid, scene.triangles, o, d, md, prev_kind,
-                       prev_id, any_hit=True)
+                       prev_id, any_hit=True, **sel)
     return (id_tr >= 0) | (t_pl < md) | (t_sp < md)

@@ -82,17 +82,30 @@ def cosine_sample_hemisphere(key: jax.Array, normal: jnp.ndarray) -> jnp.ndarray
     r2 = r[..., 1]
     cos_theta = jnp.sqrt(r2)
 
+    # Dead/missed lanes carry a zero normal; cross(helper, 0) = 0 and the
+    # 0/norm(0) normalization poisons reverse-mode AD with NaN even though
+    # the lanes are masked downstream (0 * NaN = NaN in the backward
+    # pass).  Sanitize the normal first (where() cuts the grad path to the
+    # untaken branch) and clamp the squared norms — bit-identical forward
+    # for unit normals, finite gradients everywhere.
+    nsq = jnp.sum(normal * normal, axis=-1, keepdims=True)
+    normal = jnp.where(
+        nsq > 0.25, normal,
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                         normal.shape))
     helper = jnp.where(
         (jnp.abs(normal[..., :1]) > 0.1),
         jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), normal.shape),
         jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), normal.shape))
     u = jnp.cross(helper, normal)
-    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    u = u / jnp.sqrt(jnp.maximum(
+        jnp.sum(u * u, axis=-1, keepdims=True), 1e-20))
     v = jnp.cross(normal, u)
     d = (u * (jnp.cos(phi) * cos_theta)[..., None]
          + v * (jnp.sin(phi) * cos_theta)[..., None]
          + normal * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[..., None])
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d / jnp.sqrt(jnp.maximum(
+        jnp.sum(d * d, axis=-1, keepdims=True), 1e-20))
 
 
 def pick_light(key: jax.Array, num_lights: jnp.ndarray) -> jnp.ndarray:

@@ -43,6 +43,14 @@ def park_dead_lanes(o: jnp.ndarray, d: jnp.ndarray, live: jnp.ndarray):
                       jnp.array([1.0, 0.0, 0.0], o.dtype))
     o_fill = jnp.repeat(o_rep, st, axis=0)
     d_fill = jnp.repeat(d_rep, st, axis=0)
+    # The fill values are an execution-layout artifact (the duplicate
+    # lane's result is discarded), so they carry no gradient: without
+    # stop_gradient, a dead lane's downstream cotangent — including NaN
+    # born from inf * 0 in chains that are where-masked only at the END —
+    # would flow back INTO the duplicated live lane through the gather's
+    # VJP and corrupt real vertex gradients.
+    o_fill = jax.lax.stop_gradient(o_fill)
+    d_fill = jax.lax.stop_gradient(d_fill)
     o2 = jnp.where(live[:, None], o, o_fill)
     d2 = jnp.where(live[:, None], d, d_fill)
     return o2, d2
@@ -66,8 +74,11 @@ def refract(i: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray):
     cosi = jnp.sum(n * i, -1)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
     valid = k >= 0.0
+    # VJP-safe sqrt: sqrt(max(k, 0)) has an inf derivative at the TIR
+    # boundary, and 0-cotangent * inf = NaN poisons reverse-mode AD even
+    # though invalid lanes are masked below (see ops/intersect).
     d = (eta[..., None] * i
-         - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n)
+         - (eta * cosi + jnp.sqrt(jnp.where(valid, k, 1.0)))[..., None] * n)
     return jnp.where(valid[..., None], d, 0.0), valid
 
 
@@ -129,7 +140,8 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
                     occluded_fn=None, mask=None,
                     share_mask=None, share_width: int = 16,
                     coherent: bool = False,
-                    reverse: bool = False) -> jnp.ndarray:
+                    reverse: bool = False,
+                    share_all: bool = False) -> jnp.ndarray:
     """Next-event estimation for diffuse hits.
 
     Per sample: pick a uniform light (Shader.cpp:223-233), take its position
@@ -164,52 +176,86 @@ def direct_lighting(scene: Scene, hit: Hit, keys: jax.Array,
     # (discarded) so traversal subtiles stay coherent; see park_dead_lanes.
     origin = hit.point
 
+    share_all = share_all and b % share_width == 0
+    if share_all:
+        # Every lane group shares one pick/point drawn from its first
+        # lane's key, so fold/pick/sample on the DOWNSAMPLED key set and
+        # broadcast — bit-identical to folding per lane and taking lane 0
+        # (which is what the non-share_all path below computes), but
+        # ~share_width x fewer threefry evaluations: the per-lane folds
+        # were ~14 ms of the 512^2 conference NEE pass (round-5 profile).
+        sw = share_width
+        keys_ds = keys.reshape(b // sw, sw, -1)[:, 0]
+
     for s in range(samples_light):
-        k_pick = jax.vmap(jax.random.fold_in, (0, None))(keys, 2 * s)
-        k_point = jax.vmap(jax.random.fold_in, (0, None))(keys, 2 * s + 1)
-        # The light *pick* is shared across each 16-lane traversal subtile
-        # (first lane's key): every pixel's marginal pick is still uniform,
-        # so the estimator is unbiased — the reference's shared atomic RNG
-        # cursors correlate neighboring pixels the same way (Sampler.hpp:
-        # 58-63).  Coherent picks keep a subtile's shadow bundle aimed at
-        # one light, which the tile-interval traversal bounds depend on
-        # (divergent bundles were 5x slower on TPU).
-        #
-        # `share_mask` limits sharing to lanes on their first bounce: later
-        # bounces run through the compacted wavefront (engine.py), where
-        # execution grouping depends on batch size — a per-lane pick keeps
-        # the image invariant to sharding and compaction layout.
-        # The lane-group width sharing one light sample is a SAMPLING
-        # POLICY (RenderConfig.nee_share): 16 = the banded subtile hull,
-        # 128 = one tile-kernel cone (the production TPU setting).  Any
-        # width keeps every pixel's marginal sample uniform (unbiased);
-        # batches not divisible by the width skip sharing.
-        st = share_width
-        if b % st == 0:
-            def subtile_share(k):
-                shared = jnp.repeat(k.reshape(b // st, st, -1)[:, 0], st, 0)
-                if share_mask is None:
-                    return shared
-                return jnp.where(share_mask[:, None], shared, k)
-            k_pick = subtile_share(k_pick)
-            # The light *point* is shared per subtile too: each pixel's
-            # marginal point is still uniform over the light (unbiased, same
-            # argument as the pick), and one shared target point collapses
-            # the subtile's shadow bundle to a tight cone — measured 16.6 ->
-            # 4.6 mean candidate-block visits per subtile on the conference
-            # proxy (the NEE pass was ~60% of the Whitted frame).
-            k_point = subtile_share(k_point)
-        lidx = jax.vmap(sampling.pick_light, (0, None))(k_pick, scene.lights.num)
-        kind = scene.lights.kind[lidx]
-        p_area = jax.vmap(sampling.sample_triangle_point)(
-            k_point, scene.lights.tri_a[lidx], scene.lights.tri_ab[lidx],
-            scene.lights.tri_ac[lidx])
-        lpos = jnp.where((kind == C.LIGHT_AREA)[:, None], p_area,
-                         scene.lights.position[lidx])
-        radiance = scene.lights.radiance[lidx]
+        if share_all:
+            kp_ds = jax.vmap(jax.random.fold_in, (0, None))(keys_ds, 2 * s)
+            kpt_ds = jax.vmap(jax.random.fold_in, (0, None))(keys_ds,
+                                                             2 * s + 1)
+            lidx_ds = jax.vmap(sampling.pick_light, (0, None))(
+                kp_ds, scene.lights.num)
+            kind_ds = scene.lights.kind[lidx_ds]
+            p_ds = jax.vmap(sampling.sample_triangle_point)(
+                kpt_ds, scene.lights.tri_a[lidx_ds],
+                scene.lights.tri_ab[lidx_ds], scene.lights.tri_ac[lidx_ds])
+            lpos_ds = jnp.where((kind_ds == C.LIGHT_AREA)[:, None], p_ds,
+                                scene.lights.position[lidx_ds])
+            lpos = jnp.repeat(lpos_ds, sw, axis=0)
+            radiance = jnp.repeat(scene.lights.radiance[lidx_ds], sw, axis=0)
+            kind = jnp.repeat(kind_ds, sw, axis=0)
+        else:
+            k_pick = jax.vmap(jax.random.fold_in, (0, None))(keys, 2 * s)
+            k_point = jax.vmap(jax.random.fold_in, (0, None))(keys, 2 * s + 1)
+            # The light *pick* is shared across each share-width lane group
+            # (first lane's key): every pixel's marginal pick is still
+            # uniform, so the estimator is unbiased — the reference's
+            # shared atomic RNG cursors correlate neighboring pixels the
+            # same way (Sampler.hpp:58-63).  Coherent picks keep a
+            # subtile's shadow bundle aimed at one light, which the
+            # tile-interval traversal bounds depend on (divergent bundles
+            # were 5x slower on TPU).
+            #
+            # `share_mask` limits sharing to lanes on their first bounce:
+            # later bounces run through the compacted wavefront
+            # (engine.py), where execution grouping depends on batch size —
+            # a per-lane pick keeps the image invariant to sharding and
+            # compaction layout.  The lane-group width sharing one light
+            # sample is a SAMPLING POLICY (RenderConfig.nee_share): 16 =
+            # the banded subtile hull, 128 = one tile-kernel cone (the
+            # production TPU setting).  Any width keeps every pixel's
+            # marginal sample uniform (unbiased); batches not divisible by
+            # the width skip sharing.
+            st = share_width
+            if b % st == 0:
+                def subtile_share(k):
+                    shared = jnp.repeat(k.reshape(b // st, st, -1)[:, 0],
+                                        st, 0)
+                    if share_mask is None:
+                        return shared
+                    return jnp.where(share_mask[:, None], shared, k)
+                k_pick = subtile_share(k_pick)
+                # The light *point* is shared per group too: each pixel's
+                # marginal point is still uniform over the light (unbiased,
+                # same argument as the pick), and one shared target point
+                # collapses the subtile's shadow bundle to a tight cone —
+                # measured 16.6 -> 4.6 mean candidate-block visits per
+                # subtile on the conference proxy.
+                k_point = subtile_share(k_point)
+            lidx = jax.vmap(sampling.pick_light, (0, None))(
+                k_pick, scene.lights.num)
+            kind = scene.lights.kind[lidx]
+            p_area = jax.vmap(sampling.sample_triangle_point)(
+                k_point, scene.lights.tri_a[lidx], scene.lights.tri_ab[lidx],
+                scene.lights.tri_ac[lidx])
+            lpos = jnp.where((kind == C.LIGHT_AREA)[:, None], p_area,
+                             scene.lights.position[lidx])
+            radiance = scene.lights.radiance[lidx]
 
         to_light = lpos - origin
-        dist = jnp.linalg.norm(to_light, axis=-1)
+        # sqrt(sum-sq) == vector norm bit-for-bit, with a finite VJP at 0
+        # (jnp.linalg.norm's VJP at a zero vector is NaN, which a masked
+        # lane's zero cotangent does not absorb).
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_light * to_light, -1), 1e-30))
         ldir = to_light / jnp.maximum(dist[:, None], 1e-30)
         cos_nl = jnp.sum(hit.normal * ldir, -1)
         visible = cos_nl > 0.0

@@ -95,9 +95,15 @@ def make_tracer(config: RenderConfig, differentiable: bool = False) -> Tracer:
                 sg = jax.lax.stop_gradient
                 scene, o, d, md = sg(scene), sg(o), sg(d), sg(md)
             if isinstance(scene.bvh, pallas_bvh.PallasGrid):
-                mode = "tilemt" if coherent else "banded"
+                # `coherent` marks shared-light REVERSED first-bounce
+                # cones: their point origin keeps coarse selection hulls
+                # tight, so the banded walk runs with the shallow
+                # shadow-tuned windows (SHADOW_SEL).  Incoherent
+                # (secondary, per-lane-light) shadows keep the default
+                # per-subtile windows.
+                sel = pallas_bvh.SHADOW_SEL if coherent else {}
                 return pallas_bvh.occluded_pallas(scene, o, d, md, pk, pi,
-                                                  mode=mode)
+                                                  mode="banded", **sel)
             if isinstance(scene.bvh, block_bvh.BlockGrid):
                 return block_bvh.occluded_blocks(scene, o, d, md, pk, pi)
             return bvh_ops.occluded_bvh(scene, o, d, md, pk, pi)
@@ -296,18 +302,23 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
             # common.direct_lighting).  `coherent` additionally routes the
             # reversed bundle to the tile-granular kernel when the share
             # group spans a whole 128-ray tile.
+            # On the primary step every lane has it == 0, so sharing is
+            # statically total and sampling runs on the downsampled key
+            # set (bit-identical, ~share_width x cheaper).  With
+            # nee_share_secondary the same applies to every step.
+            shared_step = primary or config.nee_share_secondary
+            # The grid DDA's occlusion walk cannot exclude the endpoint
+            # sphere (it guards prev triangles only), so the reversed
+            # formulation stays off on ACC_REGULAR_GRID.
+            rev = (shared_step and config.nee_reverse
+                   and config.accelerator != C.ACC_REGULAR_GRID)
             ld_sum, n_shadow = common.direct_lighting(
                 scene, hit, nee_keys, config.samples_light,
                 shadows=(shader != C.SHADER_NOSHADOWS),
                 occluded_fn=tracer.occluded, mask=diffuse,
-                share_mask=(it == 0), share_width=config.nee_share,
-                # The grid DDA's occlusion walk cannot exclude the
-                # endpoint sphere (it guards prev triangles only), so the
-                # reversed formulation stays off on ACC_REGULAR_GRID.
-                reverse=(primary and config.nee_reverse
-                         and config.accelerator != C.ACC_REGULAR_GRID),
-                coherent=(primary and config.nee_reverse
-                          and config.nee_share >= 128))
+                share_mask=None if shared_step else (it == 0),
+                share_width=config.nee_share,
+                share_all=shared_step, reverse=rev, coherent=rev)
             ld = kd * ld_sum / jnp.float32(config.samples_light)
             has_l = scene.lights.num > 0
             ld = jnp.where((diffuse & has_l)[:, None], ld, 0.0)

@@ -357,6 +357,17 @@ class RenderConfig:
     # NEE pass cost ~42% of the conference frame on scattered hit-point
     # hulls).  See shaders/common.direct_lighting.
     nee_reverse: bool = True
+    # Share NEE light picks/points across execution lane groups on
+    # SECONDARY bounces too (first bounces always share via nee_share).
+    # Unbiased — every pixel's marginal sample stays uniform — but the
+    # grouping follows the compacted wavefront's execution layout, so the
+    # image is no longer bit-invariant to compaction/sharding layout
+    # (which is why it defaults off; the sharded bit-identity tests rely
+    # on per-lane secondary picks).  The PathTracer's indirect bounces
+    # spend most of their time in divergent per-lane shadow walks; with
+    # sharing they get the same reversed shared-cone treatment as the
+    # primary NEE (the production PathTracer bench setting).
+    nee_share_secondary: bool = False
 
     def resolved_max_walk_iters(self) -> int:
         if self.max_walk_iters is not None:

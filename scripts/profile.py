@@ -33,7 +33,7 @@ def cached_conference(lanes=128):
     from mobileraytracer_tpu.ops import pallas_bvh
 
     scene, cam, info = conference_proxy()
-    path = f"/root/repo/.cache/conf_lanes{lanes}_v5.pkl"
+    path = f"/root/repo/.cache/conf_lanes{lanes}_v6.pkl"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if os.path.exists(path):
         with open(path, "rb") as f:
@@ -50,8 +50,8 @@ def cached_conference(lanes=128):
         blob = {
             "tris": jax.tree.map(np.asarray, scene.triangles),
             "grid": {k: np.asarray(getattr(g, k)) for k in
-                     ("super_lo", "super_hi", "blocks_packed", "tb", "tw",
-                      "tri_attr")},
+                     ("super_lo", "super_hi", "blocks_packed", "blocks_sel",
+                      "tb", "tw", "tri_attr")},
             "top_s": g.top_s, "top_m": g.top_m, "t_margin": g.t_margin,
         }
         with open(path, "wb") as f:
@@ -90,6 +90,12 @@ def main():
         float(fn(*args))
         return time.perf_counter() - t0
 
+    # Measured phase rows append to a JSONL so per-round regressions are
+    # visible without hand-transcribing into PERF.md (VERDICT r4 weak #7).
+    import datetime
+    import json
+    log_path = "/root/repo/PERF_PHASES.jsonl"
+
     def prof(label, body, n=8):
         @jax.jit
         def run(n_arr):
@@ -99,7 +105,14 @@ def main():
         float(run(1))
         t1 = fetch_time(run, 1)
         tn = fetch_time(run, n)
-        print(f"{label:48s} {(tn-t1)/(n-1)*1e3:9.2f} ms", flush=True)
+        ms = (tn - t1) / (n - 1) * 1e3
+        print(f"{label:48s} {ms:9.2f} ms", flush=True)
+        with open(log_path, "a") as f:
+            f.write(json.dumps({
+                "ts": datetime.datetime.now().isoformat(timespec="seconds"),
+                "phase": label, "ms": round(ms, 2),
+                "workload": "conference 512x512 whitted 1spp",
+            }) + "\n")
 
     # Primary rays shifted a visible amount per iteration (rule 3).
     def vary_o(i):
@@ -133,13 +146,16 @@ def main():
 
     def nee_body(k, i):
         kk = sampling.ray_key(k, pids, 0)
-        hit = tracer.closest(scene, vary_o(i), d, pk, pi)
+        hit = tracer.closest(scene, vary_o(i), d, pk, pi, coherent=True)
         nee_keys = sampling.event_key(kk, jnp.zeros((b,), jnp.int32), 1)
         diffuse = ~hit.missed
+        # Production first-bounce path: downsampled sampling, reversed
+        # shared-light segments, shadow-tuned selection windows.
         ld, ns = common.direct_lighting(
             scene, hit, nee_keys, cfg.samples_light, shadows=True,
             occluded_fn=tracer.occluded, mask=diffuse,
-            share_mask=jnp.ones((b,), bool))
+            share_mask=None, share_width=cfg.nee_share,
+            share_all=True, reverse=True, coherent=True)
         return jnp.sum(ld)
 
     prof("closest + NEE (sampling+shadow any-hit)", nee_body)

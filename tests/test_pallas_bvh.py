@@ -116,3 +116,70 @@ def test_scene_dispatch_cornell():
     occ_p = pallas_bvh.occluded_pallas(scene_p, o, d, 2.0, pk, pi)
     occ_n = nv.occluded_naive(scene_p, o, d, 2.0, pk, pi)
     np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_n))
+
+
+@pytest.mark.parametrize("sel", [
+    {"sel_st": 32, "top_s": 16, "top_m": 24},   # SHADOW_SEL (production)
+    {"sel_st": 128, "top_s": 16, "top_m": 24},  # coarsest selection
+    {"sel_st": 16, "top_s": 8, "top_m": 8},     # pathologically shallow
+])
+def test_selection_knobs_stay_exact(sel):
+    """Coarse / shallow candidate-selection windows (the shadow-tuned
+    SHADOW_SEL path and worse) must stay hit-for-hit exact: the windowed
+    refill owes exactness regardless of budgets — budgets only shift work
+    between window 1 and the refill."""
+    tris2, grid = pallas_bvh.build_blocks(_random_tris(700))
+    b = 512
+    o, d = _random_rays(b)
+    pk = jnp.zeros((b,), jnp.int32)
+    pi = jnp.full((b,), -1, jnp.int32)
+    tn, idn = nv.closest_triangles(
+        tris2, o, d, jnp.full((b,), C.RAY_LENGTH_MAX), pk, pi)
+    t, i = pallas_bvh.traverse(grid, tris2, o, d, C.RAY_LENGTH_MAX, pk, pi,
+                               **sel)
+    assert np.array_equal(np.asarray(i), np.asarray(idn))
+    hitm = np.asarray(idn) >= 0
+    # Winner identity is exact; t agrees to ulp-level (the oracle's
+    # vectorized-chunk MT rounds differently from the kernel's).
+    np.testing.assert_allclose(np.asarray(t)[hitm], np.asarray(tn)[hitm],
+                               rtol=1e-5)
+    md = jnp.full((b,), 1.5)
+    occ_n = np.asarray(nv.closest_triangles(tris2, o, d, md, pk, pi)[1]) >= 0
+    t2, i2 = pallas_bvh.traverse(grid, tris2, o, d, md, pk, pi,
+                                 any_hit=True, **sel)
+    assert np.array_equal(np.asarray(i2) >= 0, occ_n)
+
+
+_SOUP_CACHE = {}
+
+
+def _soup():
+    if "g" not in _SOUP_CACHE:
+        _SOUP_CACHE["g"] = pallas_bvh.build_blocks(_random_tris(120000,
+                                                                seed=3))
+    return _SOUP_CACHE["g"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", sorted(pallas_bvh._TRAVERSALS))
+def test_adversarial_soup_stays_exact(mode):
+    """120k uniformly-random overlapping triangles defeat SAH separation:
+    per-ray windows progress through hundreds of candidate blocks and the
+    round-4 refill silently gave up at its iteration cap (20/512 wrong
+    closest hits).  The refill now ends in an unconditional dense-oracle
+    backstop, so every variant must match the oracle bit-for-bit even
+    here."""
+    tris3, grid3 = _soup()
+    b = 256
+    o, d = _random_rays(b, seed=5)
+    pk = jnp.zeros((b,), jnp.int32)
+    pi = jnp.full((b,), -1, jnp.int32)
+    tn, idn = _naive_tris(tris3, o, d, pk, pi)
+    f = pallas_bvh._TRAVERSALS[mode]
+    kw = {"any_hit": False} if mode == "resident" else {}
+    t, i = f(grid3, tris3, o, d, C.RAY_LENGTH_MAX, pk, pi, **kw)
+    np.testing.assert_array_equal(np.asarray(i), idn)
+    md = jnp.full((b,), 1.0)
+    occ = np.asarray(nv.closest_triangles(tris3, o, d, md, pk, pi)[1]) >= 0
+    t2, i2 = f(grid3, tris3, o, d, md, pk, pi, any_hit=True)
+    assert np.array_equal(np.asarray(i2) >= 0, occ)
