@@ -79,16 +79,6 @@ class PallasGrid:
     # clean (nt, s*BPS) lane-major arrays with zero relayouts (interleaved
     # per-block fields forced transposes costing ~60 ms/traversal on TPU).
     blocks_packed: jnp.ndarray  # (K1, 8 * BPS) f32
-    # bf16 copy of blocks_packed with DIRECTIONALLY-rounded bounds (lo
-    # fields rounded down, hi fields rounded up, so every bf16 box
-    # contains its f32 box): candidate selection's phase-B gather was
-    # HBM-bound (~268 MB of packed rows per 512^2 shadow pass); gathering
-    # bf16 halves the traffic while keeping the interval entry bounds
-    # conservative — an unlisted block still provably satisfies
-    # lb_true >= lb_bf16 >= cut, so windowed exactness is unchanged.  The
-    # `first` field (col 6) is NOT exact in bf16; it is unused by the
-    # Pallas traversals (the kernel reads slot ids from tb row 10).
-    blocks_sel: jnp.ndarray     # (K1, 8 * BPS) bf16
     # Packed triangle blocks: rows 0-2 point_a xyz, 3-5 ab, 6-8 ac,
     # 9 validity (1.0/0.0), 10 global triangle slot id per lane.
     tb: jnp.ndarray           # (NB, 16, LANES) f32, NB = K1 * BPS
@@ -231,20 +221,6 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
     packed[:, 6] = bfirst_p.astype(np.float32)
     packed[:, 7] = bcount_p.astype(np.float32)
 
-    # Conservative bf16 selection copy: shift each bound outward by one
-    # bf16 ulp (2^-7 relative) before nearest-rounding, so lo_bf16 <= lo
-    # and hi_bf16 >= hi hold for every block (boxes only grow — sound;
-    # growth <= ~1%, a few extra candidates at worst).
-    def _outward(x, up):
-        pad = np.abs(x) * np.float32(2.0 ** -7) + np.float32(1e-30)
-        return (x + pad if up else x - pad).astype(jnp.bfloat16)
-
-    packed_sel = np.zeros((k1, 8, bps), jnp.bfloat16)
-    packed_sel[:, 0:3] = _outward(packed[:, 0:3], up=False)
-    packed_sel[:, 3:6] = _outward(packed[:, 3:6], up=True)
-    packed_sel[:, 6] = packed[:, 6]    # inexact in bf16; unused (see doc)
-    packed_sel[:, 7] = packed[:, 7]    # counts <= 128: exact in bf16
-
     n = pa.shape[0]
     attr = np.zeros((n, 32), np.float32)
     attr[:, 0:3] = pa
@@ -262,7 +238,6 @@ def build_blocks(tris: Triangles, blocks_per_super: int = DEFAULT_BPS,
         super_lo=bmin_p.min(1).T.copy(),
         super_hi=bmax_p.max(1).T.copy(),
         blocks_packed=packed.reshape(k1, 8 * bps),
-        blocks_sel=packed_sel.reshape(k1, 8 * bps),
         tb=tb,
         tw=tw,
         tri_attr=attr,
@@ -395,16 +370,16 @@ def _candidates(grid: PallasGrid, o, d, cap=None, floor=None, st=ST,
 
     # Phase B: one large-row gather of the selected supers' packed block
     # metadata (component-grouped — slices stay lane-major), conservative
-    # tile-interval bounds, one top-k.  The gather reads the bf16
-    # outward-rounded copy (PallasGrid.blocks_sel): it was the pass's
-    # HBM-traffic hot spot, and the conservative rounding keeps every
-    # bound sound (boxes only grow).
+    # tile-interval bounds, one top-k.  (A bf16 copy of the packed rows
+    # was tried in round 5 and measured ~5% SLOWER: the 256-byte bf16 rows
+    # sit below HBM transaction granularity, so the half-width gather
+    # saves no transactions while the upcasts add VPU work.)
     bps = grid.bps
     nc = s * bps
-    gb = grid.blocks_sel[sup_ids]                     # (nt, s, 8*BPS) bf16
-    f = lambda i: grid.packed_field(gb, i).astype(jnp.float32)
+    gb = grid.blocks_packed[sup_ids]                  # (nt, s, 8*BPS)
+    f = lambda i: grid.packed_field(gb, i)            # (nt, nc) each
     lo_hi = [(f(0), f(3)), (f(1), f(4)), (f(2), f(5))]
-    cb_first = f(6).astype(jnp.int32)   # NOT exact (bf16); unused by Pallas
+    cb_first = f(6).astype(jnp.int32)
     cb_count = f(7)
 
     lb = _interval_entry_lb(ivals, lo_hi)                          # (nt, nc)
@@ -855,11 +830,10 @@ def traverse(grid: PallasGrid, tris: Triangles, o, d, t_init, prev_kind,
 NBP = 640          # table rows per resident partition (640 x 8 KB = 5 MB)
 
 
-def _make_resident_kernel(m: int, n_parts: int):
+def _make_resident_kernel(m: int, n_parts: int, g_n: int):
     npp = n_parts + 1
 
     def kernel(starts_ref, gl_ref, rays_ref, tb_ref, t_out, id_out):
-        g_n = GROUP
         p = pl.program_id(0)
         rays = rays_ref[:]                                  # (G*ST, 8)
 
@@ -945,25 +919,26 @@ def _make_resident_kernel(m: int, n_parts: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n_parts", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("m", "n_parts", "interpret", "g_n"))
 def _traverse_resident_padded(tb, starts, glist, rays, m: int,
-                              n_parts: int, interpret: bool):
+                              n_parts: int, interpret: bool,
+                              g_n: int = GROUP):
     """rays: (Bp, 8).  starts: (n_groups, GROUP*(P+1)) i32 run boundaries;
     glist: (n_groups, GROUP*m) i32 gid-sorted candidate ids.  Returns
     per-partition (P, Bp, 1) t / slot arrays (combine by min outside)."""
     bp = rays.shape[0]
-    n_groups = bp // (GROUP * ST)
-    nbp_rows = tb.shape[0]
-    kernel = _make_resident_kernel(m, n_parts)
+    n_groups = bp // (g_n * ST)
+    kernel = _make_resident_kernel(m, n_parts, g_n)
     t, sid = pl.pallas_call(
         kernel,
         grid=(n_parts, n_groups),
         in_specs=[
-            pl.BlockSpec((1, 1, GROUP * (n_parts + 1)),
+            pl.BlockSpec((1, 1, g_n * (n_parts + 1)),
                          lambda p, i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, GROUP * m), lambda p, i: (i, 0, 0),
+            pl.BlockSpec((1, 1, g_n * m), lambda p, i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((GROUP * ST, 8), lambda p, i: (i, 0),
+            pl.BlockSpec((g_n * ST, 8), lambda p, i: (i, 0),
                          memory_space=pltpu.VMEM),
             # The resident partition slab: index depends only on p (the
             # outer, sequential grid dim), so Mosaic fetches it once per
@@ -972,9 +947,9 @@ def _traverse_resident_padded(tb, starts, glist, rays, m: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, GROUP * ST, 1), lambda p, i: (p, i, 0),
+            pl.BlockSpec((1, g_n * ST, 1), lambda p, i: (p, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GROUP * ST, 1), lambda p, i: (p, i, 0),
+            pl.BlockSpec((1, g_n * ST, 1), lambda p, i: (p, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -991,7 +966,7 @@ def _traverse_resident_padded(tb, starts, glist, rays, m: int,
 def traverse_resident(grid: PallasGrid, tris: Triangles, o, d, t_init,
                       prev_kind, prev_id, any_hit: bool = True,
                       sel_st: int = None, top_s: int = None,
-                      top_m: int = None):
+                      top_m: int = None, res_group: int = GROUP):
     """Any-hit traversal via the resident-table kernel (same contract as
     `traverse(any_hit=True)`); closest-hit queries fall back to the banded
     kernel (they need the entry-ordered early exit)."""
@@ -1002,7 +977,7 @@ def traverse_resident(grid: PallasGrid, tris: Triangles, o, d, t_init,
     b = o.shape[0]
     grid = jax.tree.map(jnp.asarray, grid)
     t0 = jnp.broadcast_to(jnp.asarray(t_init, jnp.float32), (b,))
-    rays, bp = _pack_rays(o, d, t0, prev_kind, prev_id, GROUP * ST)
+    rays, bp = _pack_rays(o, d, t0, prev_kind, prev_id, res_group * ST)
 
     op, dp = rays[:, 0:3], rays[:, 3:6]
     sst = sel_st or ST
@@ -1036,15 +1011,16 @@ def traverse_resident(grid: PallasGrid, tris: Triangles, o, d, t_init,
     starts = jnp.minimum(starts, nvalid[:, None])
 
     ntk = glist.shape[0]
-    n_groups = ntk // GROUP
+    n_groups = ntk // res_group
     tb_pad = grid.tb
     if nb_pad != nb:
         tb_pad = jnp.concatenate(
             [grid.tb, jnp.zeros((nb_pad - nb,) + grid.tb.shape[1:],
                                 jnp.float32)], 0)
     tp, sp = _traverse_resident_padded(
-        tb_pad, starts.reshape(n_groups, 1, GROUP * (n_parts + 1)),
-        glist.reshape(n_groups, 1, GROUP * m), rays, m, n_parts, interp)
+        tb_pad, starts.reshape(n_groups, 1, res_group * (n_parts + 1)),
+        glist.reshape(n_groups, 1, res_group * m), rays, m, n_parts,
+        interp, g_n=res_group)
     t = jnp.min(tp[:, :, 0], axis=0)
     sid = jnp.min(jnp.where(tp[:, :, 0] <= t[None, :], sp[:, :, 0], _BIG),
                   axis=0)

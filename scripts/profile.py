@@ -33,7 +33,7 @@ def cached_conference(lanes=128):
     from mobileraytracer_tpu.ops import pallas_bvh
 
     scene, cam, info = conference_proxy()
-    path = f"/root/repo/.cache/conf_lanes{lanes}_v6.pkl"
+    path = f"/root/repo/.cache/conf_lanes{lanes}_v7.pkl"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if os.path.exists(path):
         with open(path, "rb") as f:
@@ -50,8 +50,9 @@ def cached_conference(lanes=128):
         blob = {
             "tris": jax.tree.map(np.asarray, scene.triangles),
             "grid": {k: np.asarray(getattr(g, k)) for k in
-                     ("super_lo", "super_hi", "blocks_packed", "blocks_sel",
-                      "tb", "tw", "tri_attr")},
+                     ("super_lo", "super_hi", "blocks_packed",
+                      "tb", "tw",
+                      "tri_attr")},
             "top_s": g.top_s, "top_m": g.top_m, "t_margin": g.t_margin,
         }
         with open(path, "wb") as f:
