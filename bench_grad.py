@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--edge-budget", type=int, default=4096)
     ap.add_argument("--shadow-budget", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="interior-AD pixel chunk (defaults to 256k lanes "
+                         "for frames above 512^2 — the watchdog/memory "
+                         "guard for 1080p-scale gradients)")
     args = ap.parse_args()
 
     from mobileraytracer_tpu import constants as C
@@ -61,6 +65,11 @@ def main():
                       edge_budget=args.edge_budget,
                       shadow_edges=True, shadow_budget=args.shadow_budget)
         print(f"# edges kept: {int(keep.sum())} / {keep.size}", flush=True)
+    chunk = args.chunk
+    if chunk is None and size * size > 512 * 512:
+        chunk = 256 * 1024
+    if chunk:
+        kwargs["pixel_chunk"] = chunk
     key = jax.random.PRNGKey(0)
 
     @jax.jit

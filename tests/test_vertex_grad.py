@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from mobileraytracer_tpu import constants as C
+from mobileraytracer_tpu import scenes
 from mobileraytracer_tpu.builder import SceneBuilder
 from mobileraytracer_tpu.cameras import CAMERA_PERSPECTIVE
 from mobileraytracer_tpu.diff import (factors_of_point, scene_with_vertices,
@@ -249,3 +250,31 @@ def test_vertex_gradient_matches_finite_differences():
     lo = np.mean([float(mean_img(-eps, k)) for k in keys])
     fd = (hi - lo) / (2 * eps)
     assert abs(ad - fd) < max(0.12 * abs(fd), 2e-3), (ad, fd)
+
+
+@pytest.mark.slow
+def test_vertex_gradient_sharded_1080p_shape():
+    """BASELINE #5 scale on the 8-device CPU mesh: full vertex gradients
+    at 1080p (1920x1072 after tile rounding) with the pixel-chunked
+    interior (VERDICT r4 #5) sharded over the mesh.  Smoke-level oracle:
+    finite gradients, a nonzero silhouette term, and the loss within the
+    scene's known radiance range."""
+    from mobileraytracer_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    scene, cam = scenes.load_builtin(C.SCENE_CORNELL2, 1.0)
+    scene = jax.device_put(scene)
+    cfg = RenderConfig(width=1920, height=1080, spp=1,
+                       shader=C.SHADER_WHITTED, accelerator=C.ACC_NAIVE,
+                       scene_id=C.SCENE_CORNELL2).rounded()
+    assert (cfg.width, cfg.height) == (1920, 1072)
+    m = pmesh.make_mesh()
+    loss, g = vertex_grad(scene, cam, cfg, jax.random.PRNGKey(0),
+                          edge_samples=4, mesh=m,
+                          pixel_chunk=cfg.width * cfg.height // 4)
+    assert np.isfinite(float(loss)) and 0.05 < float(loss) < 2.0
+    for k in ("va", "vb", "vc"):
+        arr = np.asarray(g[k])
+        assert np.isfinite(arr).all()
+    # The green triangle's silhouette must contribute.
+    assert float(np.abs(np.asarray(g["va"])[1]).max()) > 1e-4
