@@ -72,15 +72,32 @@ def main():
         kwargs["pixel_chunk"] = chunk
     key = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def run(n):
-        def body(i, carry):
-            loss, grads = vertex_grad(scene, cam, cfg,
-                                      jax.random.fold_in(key, i),
-                                      edge_samples=8, **kwargs)
-            s = sum(jnp.sum(g) for g in grads.values())
-            return carry * 1e-20 + loss + s
-        return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+    if "pixel_chunk" in kwargs:
+        # Chunked mode (1080p-scale): one fused executable would exceed
+        # the backend watchdog (measured: a 1080p single-dispatch gradient
+        # crashes the TPU worker), so vertex_grad runs phase-wise — its
+        # interior chunks and jitted boundary phase each dispatch
+        # separately and pipeline through the relay; timing fetches once
+        # per repetition set.
+        def run(n):
+            s = jnp.zeros(())
+            for i in range(int(n)):
+                loss, grads = vertex_grad(scene, cam, cfg,
+                                          jax.random.fold_in(key, i),
+                                          edge_samples=8, **kwargs)
+                s = s * 1e-20 + loss + sum(jnp.sum(g)
+                                           for g in grads.values())
+            return s
+    else:
+        @jax.jit
+        def run(n):
+            def body(i, carry):
+                loss, grads = vertex_grad(scene, cam, cfg,
+                                          jax.random.fold_in(key, i),
+                                          edge_samples=8, **kwargs)
+                s = sum(jnp.sum(g) for g in grads.values())
+                return carry * 1e-20 + loss + s
+            return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
 
     float(run(1))
     t0 = time.perf_counter()

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from .. import sampling
 from ..shaders.engine import trace_image_sample
 from ..types import Camera, RenderConfig, Scene, Triangles
 from ..types import CAMERA_PERSPECTIVE
@@ -476,6 +477,44 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
             g_int = {k: g_int[k] + gc[k] for k in g_int}
 
     # ---- boundary: edge sampling in factor space ------------------------
+    # Wrapped in a function so the chunked mode (pixel_chunk set — the
+    # 1080p-scale path that must NOT run as one mega-dispatch) can jit
+    # this phase as its own executable; the default mode traces it inline
+    # exactly as before.
+    n_tri = verts["va"].shape[0]
+    ek_arr = (jnp.asarray(edge_keep, jnp.float32) if edge_keep is not None
+              else jnp.ones((3 * n_tri,), jnp.float32))
+
+    def _boundary(verts, scene, camera, base_key, ek_arr):
+        return _boundary_terms(
+            verts, scene, camera, base_key, ek_arr, config=config,
+            edge_samples=edge_samples, edge_eps=edge_eps,
+            edge_budget=edge_budget, shadow_edges=shadow_edges,
+            shadow_budget=shadow_budget, mesh=mesh)
+    if pixel_chunk is None or pixel_chunk >= b_pix:
+        g_bnd = _boundary(verts, scene, camera, base_key, ek_arr)
+    else:
+        g_bnd = _boundary_terms_jit(
+            verts, scene, camera, base_key, ek_arr, config=config,
+            edge_samples=edge_samples, edge_eps=edge_eps,
+            edge_budget=edge_budget, shadow_edges=shadow_edges,
+            shadow_budget=shadow_budget, mesh=mesh)
+    grads = {k: g_int[k] + g_bnd[k] for k in g_int}
+
+    # Padded (invalid) triangle rows have no defined gradient; zero them
+    # so callers can reduce without masking.
+    valid = scene.triangles.valid.astype(bool)[:, None]
+    grads = {k: jnp.where(valid, g, 0.0) for k, g in grads.items()}
+    return loss, grads
+
+
+def _boundary_terms(verts, scene, camera, base_key, ek_arr, *, config,
+                    edge_samples, edge_eps, edge_budget, shadow_edges,
+                    shadow_budget, mesh):
+    """The silhouette (+ optional shadow) boundary gradient terms — the
+    body of vertex_grad's edge-sampling phase, hoisted to module level so
+    the chunked (1080p-scale) mode can jit it as its own stable-cache
+    executable instead of fusing into one watchdog-killing dispatch."""
     n_tri = verts["va"].shape[0]
     sa = (jnp.arange(edge_samples, dtype=jnp.float32) + 0.5) / edge_samples
 
@@ -497,9 +536,7 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
     inward = jnp.sum((qo - q0) * n_hat, -1)
     n_hat = jnp.where((inward > 0)[:, None], -n_hat, n_hat)
 
-    w_e = seg_len
-    if edge_keep is not None:
-        w_e = w_e * jnp.asarray(edge_keep, jnp.float32)
+    w_e = seg_len * ek_arr
 
     if edge_budget is None:
         # Full enumeration: every kept edge integrated with S samples.
@@ -527,39 +564,46 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
     probe_out = (qs + edge_eps * nhs[:, None, :]).reshape(-1, 2)
 
     e_total = probe_in.shape[0]
-    pkeys = sampling.ray_key(base_key, jnp.arange(e_total, dtype=jnp.int32),
-                             1)
-    l_in = _mean_radiance(scene, camera, config, probe_in, pkeys, mesh=mesh)
+    pkeys = sampling.ray_key(base_key,
+                             jnp.arange(e_total, dtype=jnp.int32), 1)
+    l_in = _mean_radiance(scene, camera, config, probe_in, pkeys,
+                          mesh=mesh)
     l_out = _mean_radiance(scene, camera, config, probe_out, pkeys,
                            mesh=mesh)
     dl = jnp.mean(l_in - l_out, axis=-1).reshape(-1, edge_samples)
 
-    # Pixel-density weight: the jitter box has width 1/w x 1/h in factor
-    # space but pixel centers are arctan-warped (Renderer.cpp:137-140 adds
-    # the deviation AFTER fastArcTan), so the image mean is the
-    # density-weighted integral  mean = INT L(q) rho(q) dq  with
-    # rho = (1+tan^2 rf)(1+tan^2 uf)/(pu pv)  (perspective) or
+    # Pixel-density weight: the jitter box has width 1/w x 1/h in
+    # factor space but pixel centers are arctan-warped
+    # (Renderer.cpp:137-140 adds the deviation AFTER fastArcTan), so
+    # the image mean is the density-weighted integral
+    # mean = INT L(q) rho(q) dq with
+    # rho = (1+tan^2 rf)(1+tan^2 uf)/(pu pv) (perspective) or
     # 1/(pu pv) (orthographic).  Curve stretches outside the image's
     # factor-space support contribute nothing (viewport clipping).
-    dl = dl * pixel_density(camera, qs) * viewport_mask(camera, config, qs)
+    dl = dl * pixel_density(camera, qs) * viewport_mask(camera, config,
+                                                        qs)
 
-    # dq/dv at each sample: x(s) = (1-s) p0 + s p1, so dq/dv0 = (1-s) J(x)
-    # and dq/dv1 = s J(x) with J = d factors / d world point (2x3).
+    # dq/dv at each sample: x(s) = (1-s) p0 + s p1, so
+    # dq/dv0 = (1-s) J(x) and dq/dv1 = s J(x) with
+    # J = d factors / d world point (2x3).
     xs = (e0s[:, None, :] * (1 - sa)[None, :, None]
           + e1s[:, None, :] * sa[None, :, None]).reshape(-1, 3)
     jac = jax.vmap(jax.jacrev(
-        lambda p: factors_of_point(camera, p)))(xs)       # (Es*S, 2, 3)
+        lambda p: factors_of_point(camera, p)))(xs)   # (Es*S, 2, 3)
     ndotj = jnp.einsum("ek,ekd->ed",
-                       jnp.repeat(nhs, edge_samples, 0), jac)  # (Es*S, 3)
+                       jnp.repeat(nhs, edge_samples, 0),
+                       jac)                           # (Es*S, 3)
     ndotj = ndotj.reshape(-1, edge_samples, 3)
 
-    wgt = dl * (lens * mc_w)[:, None] / edge_samples      # (Es, S)
-    g0 = jnp.sum(wgt[:, :, None] * ndotj * (1 - sa)[None, :, None], axis=1)
+    wgt = dl * (lens * mc_w)[:, None] / edge_samples  # (Es, S)
+    g0 = jnp.sum(wgt[:, :, None] * ndotj * (1 - sa)[None, :, None],
+                 axis=1)
     g1 = jnp.sum(wgt[:, :, None] * ndotj * sa[None, :, None], axis=1)
 
-    # Scatter per-edge endpoint gradients back to the vertex slots: edge
-    # id e has slot e // n_tri (0 ab, 1 bc, 2 ca) and triangle e % n_tri;
-    # endpoint 0 of slot 0/1/2 is va/vb/vc, endpoint 1 is vb/vc/va.
+    # Scatter per-edge endpoint gradients back to the vertex slots:
+    # edge id e has slot e // n_tri (0 ab, 1 bc, 2 ca) and triangle
+    # e % n_tri; endpoint 0 of slot 0/1/2 is va/vb/vc, endpoint 1 is
+    # vb/vc/va.
     slot = sel // n_tri
     tri = sel % n_tri
     zeros = jnp.zeros((n_tri, 3), jnp.float32)
@@ -571,16 +615,19 @@ def vertex_grad(scene: Scene, camera: Camera, config: RenderConfig,
         g_bnd[p0] = g_bnd[p0].at[tri].add(jnp.where(msk, g0, 0.0))
         g_bnd[p1] = g_bnd[p1].at[tri].add(jnp.where(msk, g1, 0.0))
 
-    grads = {k: g_int[k] + g_bnd[k] for k in g_int}
-
     if shadow_edges:
-        # World-space edge lengths drive the shadow-edge importance (the
-        # image-space projection of a shadow curve is light-dependent).
-        wl = jnp.linalg.norm(e1 - e0, axis=-1)
-        if edge_keep is not None:
-            wl = wl * jnp.asarray(edge_keep, jnp.float32)
+        # World-space edge lengths drive the shadow-edge importance
+        # (the image-space projection of a shadow curve is
+        # light-dependent).
+        wl = jnp.linalg.norm(e1 - e0, axis=-1) * ek_arr
         g_sh = _shadow_boundary_term(scene, camera, config, base_key,
                                      verts, wl, shadow_budget,
                                      edge_samples, edge_eps)
-        grads = {k: grads[k] + g_sh[k] for k in grads}
-    return loss, grads
+        g_bnd = {k: g_bnd[k] + g_sh[k] for k in g_bnd}
+    return g_bnd
+
+
+_boundary_terms_jit = jax.jit(
+    _boundary_terms,
+    static_argnames=("config", "edge_samples", "edge_eps", "edge_budget",
+                     "shadow_edges", "shadow_budget", "mesh"))
