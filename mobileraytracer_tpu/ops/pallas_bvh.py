@@ -423,6 +423,14 @@ def _candidates(grid: PallasGrid, o, d, cap=None, floor=None, st=ST,
 _PIPE = 4  # outstanding block-DMA rounds; hides HBM latency behind compute
 
 
+def _pipe_depth(m: int, any_hit: bool) -> int:
+    """DMA pipeline depth: any-hit walks average ~3.6 lockstep rounds on
+    shadow batches, so a 4-deep pipeline mostly issues DMAs that are then
+    drained unused after the early exit — 2 is the measured sweet spot;
+    closest walks run longer and keep the full depth."""
+    return min(2 if any_hit else _PIPE, m)
+
+
 def _make_kernel(m: int, any_hit: bool):
     """Banded lockstep traversal: the program's GROUP subtiles advance
     through their candidate lists in shared rounds — round r intersects
@@ -435,7 +443,7 @@ def _make_kernel(m: int, any_hit: bool):
     band is done.  Sequential per-subtile walks wasted ~70% of the VPU on
     (ST, LANES)-sized ops and scalar control — the banded walk trades a few
     masked extra visits (lockstep skew) for 8x wider compute."""
-    depth = min(_PIPE, m)
+    depth = _pipe_depth(m, any_hit)
     nslots = depth + 1
 
     def kernel(gid_ref, entry_ref, rays_ref, tb_ref,
@@ -594,9 +602,9 @@ def _traverse_padded(tb, cand_gid, cand_entry, rays,
             jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((min(_PIPE, m) + 1, GROUP) + tb.shape[1:],
+            pltpu.VMEM((_pipe_depth(m, any_hit) + 1, GROUP) + tb.shape[1:],
                        jnp.float32),
-            pltpu.SemaphoreType.DMA((min(_PIPE, m) + 1, GROUP)),
+            pltpu.SemaphoreType.DMA((_pipe_depth(m, any_hit) + 1, GROUP)),
         ],
         # Ray groups are independent: let Mosaic split the grid across both
         # megacore TensorCores.
