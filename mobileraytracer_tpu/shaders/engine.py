@@ -459,10 +459,14 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         # make_tracer).
         state, _ = step(state, keys, primary=True)
         # Chunk size: the PathTracer keeps ~every diffuse lane live after
-        # iteration 1 (indirect bounce), so large chunks amortize dispatch;
-        # Whitted/NoShadows tails carry only specular lanes — small chunks
-        # stop the tail from re-tracing mostly-dead batches.
-        div = 8 if shader == C.SHADER_PATHTRACER else 16
+        # iteration 1 (indirect bounce), so large chunks amortize the
+        # per-iteration fixed costs — which include gather/scatter of the
+        # FULL WalkState (tens of MB at big batches) every chunk
+        # iteration; Whitted/NoShadows tails carry only specular lanes —
+        # small chunks stop the tail from re-tracing mostly-dead batches.
+        div = config.walk_chunk_div
+        if div is None:
+            div = 4 if shader == C.SHADER_PATHTRACER else 16
         bc = max(unit, (b // div + unit - 1) // unit * unit)
         lanes = jnp.arange(b, dtype=jnp.int32)
         max_chunks = -(-b // bc) * max_iters

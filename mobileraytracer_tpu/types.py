@@ -368,6 +368,11 @@ class RenderConfig:
     # sharing they get the same reversed shared-cone treatment as the
     # primary NEE (the production PathTracer bench setting).
     nee_share_secondary: bool = False
+    # Wavefront-compaction chunk divisor (batch/div lanes per compacted
+    # chunk iteration; None = per-shader default in shaders/engine.py).
+    # Bigger chunks amortize the per-iteration WalkState gather/scatter
+    # against re-tracing more drained lanes.
+    walk_chunk_div: Optional[int] = None
 
     def resolved_max_walk_iters(self) -> int:
         if self.max_walk_iters is not None:
