@@ -37,11 +37,15 @@ def test_recover_cornell2_albedo(tmp_path):
         scene, cam, cfg, target, m, steps=150, params_subset=("kd",),
         learning_rate=0.05, init_params={"kd": kd0},
         checkpoint_path=ck, checkpoint_every=50)
-    # Fine-tune phase: smaller steps settle the low-coverage materials
-    # (the yellow triangle covers ~10 pixels at 32x32).
+    # Fine-tune phase: smaller steps + 4 spp settle the low-coverage
+    # materials (the yellow triangle covers ~10 pixels at 32x32; at 2 spp
+    # the shared-NEE gradient noise parks the floor ~0.06 off its optimum
+    # — measured identically at the round-4 and round-5 code, so a test
+    # calibration matter, fixed by halving the fine-tune gradient noise).
+    import dataclasses
     params, losses2 = recover_materials(
-        scene, cam, cfg, target, m, steps=120, params_subset=("kd",),
-        learning_rate=0.01, init_params=params1,
+        scene, cam, dataclasses.replace(cfg, spp=4), target, m, steps=120,
+        params_subset=("kd",), learning_rate=0.01, init_params=params1,
         base_key=jax.random.PRNGKey(55))
     losses = np.concatenate([losses, losses2])
 
