@@ -464,9 +464,12 @@ def trace_radiance(scene: Scene, config: RenderConfig, tracer: Tracer,
         # FULL WalkState (tens of MB at big batches) every chunk
         # iteration; Whitted/NoShadows tails carry only specular lanes —
         # small chunks stop the tail from re-tracing mostly-dead batches.
+        # Measured on conference 512^2 (v5e, round 5): PathTracer
+        # 8/4/2/1 -> 0.404/0.436/0.333/0.229 Mrays/s; Whitted frame
+        # 16/32/8 -> 108.9/101.3/126.0 ms.
         div = config.walk_chunk_div
         if div is None:
-            div = 4 if shader == C.SHADER_PATHTRACER else 16
+            div = 4 if shader == C.SHADER_PATHTRACER else 32
         bc = max(unit, (b // div + unit - 1) // unit * unit)
         lanes = jnp.arange(b, dtype=jnp.int32)
         max_chunks = -(-b // bc) * max_iters
