@@ -260,11 +260,18 @@ def _subtile_intervals(o, inv_d, nt, st=ST):
     """Per-axis per-bundle [min, max] of origin and reciprocal direction,
     each a (nt, 1) array; the ray-bundle intervals driving the conservative
     slab bounds.  `st` = rays per bundle (ST subtiles for the banded
-    kernel, TILE for the MXU tile kernel)."""
+    kernel, TILE for the MXU tile kernel).
+
+    One explicit (B, 3) -> (3, B) transpose up front: per-axis strided
+    column slices of a 3-wide-minor array each pay a full lane-relayout
+    on TPU (the 3-element minor dim occupies 3 of 128 lanes), which
+    round-5 profiling measured as the selection pass's hidden hot spot."""
+    o_t = jnp.transpose(o)            # (3, B), rows contiguous
+    i_t = jnp.transpose(inv_d)
     out = []
     for a in range(3):
-        oa = o[:, a].reshape(nt, st)
-        ia = inv_d[:, a].reshape(nt, st)
+        oa = o_t[a].reshape(nt, st)
+        ia = i_t[a].reshape(nt, st)
         out.append((jnp.min(oa, 1)[:, None], jnp.max(oa, 1)[:, None],
                     jnp.min(ia, 1)[:, None], jnp.max(ia, 1)[:, None]))
     return out
